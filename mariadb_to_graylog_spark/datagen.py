@@ -152,7 +152,9 @@ def _conv_rows(conv: int, seed: int, mean_turns: int, slow_frac: float) -> pd.Da
     # many multiples of it (drives the skew-handling code paths).
     mult = min(int(rng.zipf(2.0)), 40)
     is_slow = rng.random() < slow_frac
-    n_entries = max(1, int(mean_turns * mult) // (8 if is_slow else 2))
+    # slow convs need >=2 entries so at least one survives the reference's
+    # trailing-entry drop (mariadb-log-consumer.py:992-993)
+    n_entries = max(2 if is_slow else 1, int(mean_turns * mult) // (8 if is_slow else 2))
     lines = (
         _gen_slow_conv(rng, n_entries) if is_slow else _gen_error_conv(rng, n_entries)
     )
