@@ -1,0 +1,604 @@
+"""Driver-contract queries: each engine operator exercised over the
+driver-provided parquet tables, with an ANSI-SQL DuckDB oracle twin.
+
+The transcripts table is not part of the driver's fixed table set, so the
+log-pipeline queries *synthesize* transcript lines deterministically from
+``events`` / ``orders`` (pure column expressions, identical in the oracle
+SQL), then run the real engine operators on them.  This makes the oracle an
+end-to-end check of parse -> assemble -> enrich -> route semantics, not a
+re-implementation shortcut.
+
+Query -> SURVEY.md section 2 operator map:
+  errorlog_entries        P1-P4, P11, P13, SRC1 (strict P5)
+  errorlog_intended       P5 intended multiline append
+  errorlog_gelf           M1, M3 (byte-compat serializer), P12
+  routing_counts          S4, M4, A2
+  severity_histogram      A2
+  entry_islands           P5 gaps-and-islands core
+  slowlog_entries         P6-P10, P8 position quirk, EP2 trailing drop
+  offset_limit            SRC3, SRC4
+  resume_hwm              SRC2, C1
+  counters                A1
+  tpch_pricing            general agg capability (hash agg, decimal sums)
+  join_enrich             P12-style broadcast enrichment joins
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mariadb_to_graylog_spark.functions.gelf import gelf_json_compat, with_gelf_level
+from mariadb_to_graylog_spark.operators.assembly import (
+    assemble_error_entries,
+    with_entry_ids,
+)
+from mariadb_to_graylog_spark.operators.errorlog import parse_error_log_lines
+from mariadb_to_graylog_spark.operators.slowlog import parse_slow_log
+
+HOST = "sparkhost"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthesized error-log transcripts from `events`
+# ---------------------------------------------------------------------------
+
+_SEV_CASE = {
+    "error": "[ERROR]",
+    "signup": "[Warning]",
+    "purchase": "[Note]",
+    "click": "[note]",
+}
+
+
+def synth_error_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> transcript lines: F1 for even event_ids, F2 for odd,
+    'view' events become malformed continuation lines; value>15 appends a
+    non-ASCII char (exercises M4/S4 routing)."""
+    ev = _events(spark, sf_dir)
+    sev = F.lit(None).cast("string")
+    for k, v in _SEV_CASE.items():
+        sev = F.when(F.col("event_type") == k, F.lit(v)).otherwise(sev)
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" "),
+        F.col("props"),
+        F.when(F.col("value") > 15.0, F.lit("é")).otherwise(F.lit("")),
+    )
+    f1 = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" "),
+        (F.col("user_id") % 32).cast("string"),
+        F.lit(" "),
+        sev,
+        F.lit(" "),
+        msg,
+    )
+    f2 = F.concat(F.date_format("ts", "yyMMdd HH:mm:ss"), F.lit(" "), sev, F.lit(" "), msg)
+    text = (
+        F.when(sev.isNull(), F.concat(F.lit("continuation "), F.col("props")))
+        .when(F.col("event_id") % 2 == 0, f1)
+        .otherwise(f2)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("user_id"),
+    )
+
+
+_SYNTH_ERROR_SQL = """
+WITH turns AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         user_id, event_id, ts,
+         CASE event_type WHEN 'error' THEN '[ERROR]' WHEN 'signup' THEN '[Warning]'
+              WHEN 'purchase' THEN '[Note]' WHEN 'click' THEN '[note]' END AS sev_raw,
+         CASE WHEN event_type = 'view' THEN 'continuation ' || props
+              ELSE event_type || ' ' || props ||
+                   CASE WHEN value > 15.0 THEN 'é' ELSE '' END END AS msg,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch,
+         (event_id % 2 = 0) AS is_f1
+  FROM events
+),
+entries AS (
+  SELECT conv_id, turn_idx, ts_epoch, sev_raw, msg, is_f1, user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS entry_id,
+         upper(replace(replace(sev_raw, '[', ''), ']', '')) AS severity,
+         sev_raw || ' ' || substr(msg, 1, 20) AS short_message
+  FROM turns WHERE sev_raw IS NOT NULL
+),
+gelfed AS (
+  SELECT *,
+         CASE severity WHEN 'ERROR' THEN '3' WHEN 'WARNING' THEN '4'
+              WHEN 'NOTE' THEN '6' ELSE 'UNKNOWN' END AS gelf_level
+  FROM entries
+)
+"""
+
+
+def q_errorlog_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_error_transcripts(spark, sf_dir)
+    parsed = parse_error_log_lines(t)
+    entries = assemble_error_entries(parsed, mode="strict")
+    return entries.select(
+        "conv_id",
+        F.col("entry_id").cast("long").alias("entry_id"),
+        F.col("ts_epoch").cast("long").alias("ts_epoch"),
+        F.col("level_raw").alias("severity_raw"),
+        "severity",
+        F.col("thread_raw").cast("long").alias("thread_id"),
+        "short_message",
+        F.col("message").alias("text"),
+    )
+
+
+ORACLE_ERRORLOG_ENTRIES = (
+    _SYNTH_ERROR_SQL
+    + """
+SELECT conv_id, entry_id, ts_epoch, sev_raw AS severity_raw, severity,
+       CAST(CASE WHEN is_f1 THEN user_id % 32 END AS BIGINT) AS thread_id,
+       short_message, msg AS text
+FROM gelfed
+"""
+)
+
+
+def q_errorlog_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_error_transcripts(spark, sf_dir)
+    parsed = parse_error_log_lines(t)
+    entries = assemble_error_entries(parsed, mode="intended")
+    return entries.select(
+        "conv_id",
+        F.col("entry_id").cast("long").alias("entry_id"),
+        F.col("message").alias("text"),
+    )
+
+
+ORACLE_ERRORLOG_INTENDED = """
+WITH turns AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE event_type WHEN 'error' THEN '[ERROR]' WHEN 'signup' THEN '[Warning]'
+              WHEN 'purchase' THEN '[Note]' WHEN 'click' THEN '[note]' END AS sev_raw,
+         CASE WHEN event_type = 'view' THEN 'continuation ' || props
+              ELSE event_type || ' ' || props ||
+                   CASE WHEN value > 15.0 THEN 'é' ELSE '' END END AS msg
+  FROM events
+),
+islands AS (
+  SELECT *,
+         SUM(CASE WHEN sev_raw IS NOT NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS entry_id
+  FROM turns
+)
+SELECT conv_id, CAST(entry_id AS BIGINT) AS entry_id,
+       string_agg(msg, chr(10) ORDER BY turn_idx) AS text
+FROM islands WHERE entry_id > 0
+GROUP BY conv_id, entry_id
+"""
+
+
+def _gelf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_error_transcripts(spark, sf_dir)
+    parsed = parse_error_log_lines(t)
+    entries = assemble_error_entries(parsed, mode="strict")
+    entries = with_gelf_level(entries)
+    return entries.withColumn(
+        "gelf_json",
+        gelf_json_compat(
+            F.lit(HOST),
+            F.col("short_message"),
+            F.col("ts_epoch"),
+            F.col("gelf_level"),
+            F.col("message"),
+        ),
+    )
+
+
+def q_errorlog_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gelf_df(spark, sf_dir).select(
+        "conv_id",
+        F.col("entry_id").cast("long").alias("entry_id"),
+        "gelf_level",
+        "gelf_json",
+    )
+
+
+_GELF_EXPR = (
+    """'{"version":"1.1","host":"sparkhost","short_message":"'
+  || replace(short_message, '"', '\\"')
+  || '","timestamp":"' || CAST(ts_epoch AS VARCHAR)
+  || '","level":"' || gelf_level
+  || '","_text":"' || replace(msg, '"', '\\"') || '"}'"""
+)
+
+ORACLE_ERRORLOG_GELF = (
+    _SYNTH_ERROR_SQL
+    + f"""
+SELECT conv_id, entry_id, gelf_level, {_GELF_EXPR} AS gelf_json
+FROM gelfed
+"""
+)
+
+
+def q_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_to_graylog_spark.operators.routing import route
+
+    routed = route(_gelf_df(spark, sf_dir))
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+ORACLE_ROUTING_COUNTS = (
+    _SYNTH_ERROR_SQL
+    + f"""
+SELECT CASE WHEN NOT regexp_matches({_GELF_EXPR}, '[^\\x00-\\x7F]')
+            THEN 'udp' ELSE 'http' END AS sink,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM gelfed GROUP BY 1
+"""
+)
+
+
+def q_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_error_transcripts(spark, sf_dir)
+    parsed = parse_error_log_lines(t)
+    # the entry-assembly window doubles as a codegen barrier: collapsing the
+    # full parse expression tree into the aggregate stage overflows janino's
+    # 64KB method limit (observed) and falls back to interpreted eval
+    entries = assemble_error_entries(parsed, mode="strict")
+    user_id = F.split(F.col("conv_id"), "-").getItem(1).cast("long")
+    source = F.when(user_id % 3 == 0, F.lit("srcA")).otherwise(F.lit("srcB"))
+    return entries.groupBy(source.alias("source"), "severity").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+ORACLE_SEVERITY_HISTOGRAM = (
+    _SYNTH_ERROR_SQL
+    + """
+SELECT CASE WHEN user_id % 3 = 0 THEN 'srcA' ELSE 'srcB' END AS source,
+       severity, CAST(COUNT(*) AS BIGINT) AS n
+FROM entries GROUP BY 1, 2
+"""
+)
+
+
+def q_entry_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on raw events: sessions start at 'error' events."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select(
+        F.col("user_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_id"),
+        F.col("props"),
+        (F.col("event_type") == "error").alias("is_entry_start"),
+    )
+    ids = with_entry_ids(df, conv_col="user_id")
+    return (
+        ids.filter(F.col("entry_id") > 0)
+        .groupBy("user_id", "entry_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("turn_idx").alias("i"), F.col("props").alias("p")))
+                    ),
+                    lambda s: s["p"],
+                ),
+                "\n",
+            ).alias("texts"),
+        )
+    )
+
+
+ORACLE_ENTRY_ISLANDS = """
+WITH t AS (
+  SELECT user_id, event_id, props,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         (event_type = 'error') AS is_start
+  FROM events
+),
+i AS (
+  SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS entry_id
+  FROM t
+)
+SELECT user_id, CAST(entry_id AS BIGINT) AS entry_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+       string_agg(props, chr(10) ORDER BY turn_idx) AS texts
+FROM i WHERE entry_id > 0 GROUP BY user_id, entry_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# synthesized slow-log transcripts from `orders`
+# ---------------------------------------------------------------------------
+
+
+def synth_slow_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    conv = F.concat(F.lit("slow-"), (F.col("o_custkey") % 50).cast("string"))
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy("o_orderkey")
+    rk = F.row_number().over(w) - 1
+    od_epoch = F.unix_timestamp("o_orderdate")
+    has_use = F.col("o_orderkey") % 3 == 0
+    time_line = F.concat(
+        F.lit("# Time: "), F.date_format("o_orderdate", "yyMMdd"), F.lit(" 12:00:00")
+    )
+    meta1 = F.format_string(
+        "# Thread_id: %d  Schema: shop  QC_hit: %s",
+        (F.col("o_orderkey") % 97 + 1).cast("long"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("Yes")).otherwise(F.lit("No")),
+    )
+    meta2 = F.format_string(
+        "# Query_time: %.6f  Lock_time: 0.000100  Rows_sent: %d  Rows_examined: %d",
+        (F.col("o_orderkey") % 400) / F.lit(100.0),
+        (F.col("o_orderkey") % 50).cast("long"),
+        (F.col("o_orderkey") % 10000).cast("long"),
+    )
+    set_line = F.concat(F.lit("SET timestamp="), od_epoch.cast("string"), F.lit(";"))
+    sql_line = F.concat(
+        F.lit("SELECT * FROM orders WHERE o_orderkey = "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" AND o_orderpriority IN ('1-URGENT', '2-HIGH');"),
+    )
+    lines = F.when(
+        has_use,
+        F.array(time_line, meta1, meta2, F.lit("use shop;"), set_line, sql_line),
+    ).otherwise(F.array(time_line, meta1, meta2, set_line, sql_line))
+    exploded = o.select(
+        conv.alias("conv_id"),
+        rk.alias("_rk"),
+        F.col("o_orderdate").alias("ts"),
+        F.posexplode(lines).alias("_pos", "text"),
+    )
+    return exploded.select(
+        "conv_id",
+        (F.col("_rk") * 8 + F.col("_pos")).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        "text",
+        F.lit("bash").alias("tool"),
+        "ts",
+    )
+
+
+def q_slowlog_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = synth_slow_transcripts(spark, sf_dir)
+    entries = parse_slow_log(t)
+    return entries.select(
+        "conv_id",
+        F.col("entry_id").cast("long").alias("entry_id"),
+        "set_timestamp",
+        "ts_epoch",
+        "thread_id",
+        F.col("schema").alias("db_schema"),
+        F.col("query_cache_hit").alias("qc_hit"),
+        "query_time",
+        "lock_time",
+        "rows_sent",
+        "rows_examined",
+        "query_text",
+        "query_fingerprint",
+    )
+
+
+# DuckDB twin computes expected outputs directly from the synthesis params,
+# including the position-sensitive SET-timestamp quirk and the trailing drop.
+ORACLE_SLOWLOG_ENTRIES = """
+WITH o AS (
+  SELECT 'slow-' || CAST(o_custkey % 50 AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey % 50 ORDER BY o_orderkey) AS BIGINT) AS entry_id,
+         COUNT(*) OVER (PARTITION BY o_custkey % 50) AS n_entries,
+         o_orderkey,
+         (o_orderkey % 3 = 0) AS has_use,
+         CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch,
+         CAST(o_orderkey % 97 + 1 AS BIGINT) AS thread_id,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'Yes' ELSE 'No' END AS qc_hit,
+         CAST(printf('%.6f', (o_orderkey % 400) / 100.0) AS DOUBLE) AS query_time,
+         CAST(o_orderkey % 50 AS BIGINT) AS rows_sent,
+         CAST(o_orderkey % 10000 AS BIGINT) AS rows_examined,
+         'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey AS VARCHAR)
+           || ' AND o_orderpriority IN (''1-URGENT'', ''2-HIGH'');' AS sql_line
+  FROM orders
+),
+e AS (
+  SELECT conv_id, entry_id,
+         CASE WHEN has_use THEN od_epoch END AS set_timestamp,
+         CASE WHEN has_use THEN od_epoch ELSE od_epoch + 43200 END AS ts_epoch,
+         thread_id, 'shop' AS db_schema, qc_hit, query_time,
+         CAST(0.0001 AS DOUBLE) AS lock_time, rows_sent, rows_examined,
+         CASE WHEN has_use THEN sql_line
+              ELSE 'SET timestamp=' || CAST(od_epoch AS VARCHAR) || ';' || chr(10) || sql_line
+         END AS query_text
+  FROM o WHERE entry_id < n_entries
+),
+fp AS (
+  SELECT *,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(query_text), '''[^'']*''', '?', 'g'),
+            '"[^"]*"', '?', 'g'),
+          '\\b\\d+\\.\\d+\\b', '?', 'g'),
+        '\\b\\d+\\b', '?', 'g'),
+      '\\(\\s*\\?(\\s*,\\s*\\?)+\\s*\\)', '(?+)', 'g'),
+    '\\s+', ' ', 'g')) AS fp0
+  FROM e
+)
+SELECT conv_id, entry_id, set_timestamp, ts_epoch, thread_id, db_schema,
+       qc_hit, query_time, lock_time, rows_sent, rows_examined, query_text,
+       upper(regexp_extract(fp0, '^([^ ]*)', 1))
+         || substr(fp0, length(regexp_extract(fp0, '^([^ ]*)', 1)) + 1) AS query_fingerprint
+FROM fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# SRC3/SRC4, SRC2, A1, general SQL capability
+# ---------------------------------------------------------------------------
+
+
+def q_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy("event_id")
+        .offset(1234)
+        .limit(567)
+        .select("event_id", "event_type", "value")
+    )
+
+
+ORACLE_OFFSET_LIMIT = """
+SELECT event_id, event_type, value FROM events
+ORDER BY event_id LIMIT 567 OFFSET 1234
+"""
+
+
+def q_resume_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    thr = ev.agg(F.floor(F.max("event_id") * 0.4).cast("long").alias("_thr"))
+    half1 = ev.crossJoin(F.broadcast(thr)).filter(F.col("event_id") <= F.col("_thr"))
+    hwm = half1.groupBy("user_id").agg(F.max("event_id").alias("_hwm"))
+    resumed = (
+        ev.join(F.broadcast(hwm), "user_id", "left")
+        .filter(F.col("event_id") > F.coalesce(F.col("_hwm"), F.lit(-1)))
+    )
+    return resumed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resumed"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+    )
+
+
+ORACLE_RESUME_HWM = """
+WITH thr AS (SELECT CAST(floor(max(event_id) * 0.4) AS BIGINT) AS t FROM events),
+hwm AS (
+  SELECT user_id, max(event_id) AS h FROM events, thr WHERE event_id <= t GROUP BY user_id
+)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_resumed,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id
+FROM events e LEFT JOIN hwm USING (user_id)
+WHERE e.event_id > COALESCE(h, -1)
+GROUP BY e.user_id
+"""
+
+
+def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_total"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        F.sum((F.col("value") > 15.0).cast("long")).alias("n_nonascii"),
+    )
+
+
+ORACLE_COUNTERS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error_events,
+       CAST(SUM(CASE WHEN value > 15.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii
+FROM events
+"""
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    flt = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        flt.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "inner"
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+ORACLE_JOIN_ENRICH = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+LOG_QUERIES = {
+    "errorlog_entries": q_errorlog_entries,
+    "errorlog_intended": q_errorlog_intended,
+    "errorlog_gelf": q_errorlog_gelf,
+    "routing_counts": q_routing_counts,
+    "severity_histogram": q_severity_histogram,
+    "entry_islands": q_entry_islands,
+    "slowlog_entries": q_slowlog_entries,
+    "offset_limit": q_offset_limit,
+    "resume_hwm": q_resume_hwm,
+    "counters": q_counters,
+    "tpch_pricing": q_tpch_pricing,
+    "join_enrich": q_join_enrich,
+}
+
+LOG_ORACLES = {
+    "errorlog_entries": ORACLE_ERRORLOG_ENTRIES,
+    "errorlog_intended": ORACLE_ERRORLOG_INTENDED,
+    "errorlog_gelf": ORACLE_ERRORLOG_GELF,
+    "routing_counts": ORACLE_ROUTING_COUNTS,
+    "severity_histogram": ORACLE_SEVERITY_HISTOGRAM,
+    "entry_islands": ORACLE_ENTRY_ISLANDS,
+    "slowlog_entries": ORACLE_SLOWLOG_ENTRIES,
+    "offset_limit": ORACLE_OFFSET_LIMIT,
+    "resume_hwm": ORACLE_RESUME_HWM,
+    "counters": ORACLE_COUNTERS,
+    "tpch_pricing": ORACLE_TPCH_PRICING,
+    "join_enrich": ORACLE_JOIN_ENRICH,
+}

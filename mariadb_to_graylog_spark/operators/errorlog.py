@@ -64,77 +64,95 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-line parse: adds ``is_entry_start, ts_epoch, level_raw, severity,
     thread_raw, message, short_message, line`` columns.
 
-    All columns are built from a handful of ``regexp_extract`` expressions
-    over the (rstrip'd) line -- Catalyst collapses them into one codegen
-    stage; the parquet scan reads only the columns referenced.
+    Built as *staged projections* so each regexp runs once per row and its
+    result is reused by every downstream column -- inlining the whole tree
+    per output column blows the janino 64KB codegen method limit and drops
+    the stage to interpreted mode (observed; this shape keeps
+    WholeStageCodegen).  The parquet scan still prunes to the referenced
+    columns only.
     """
-    line = F.regexp_replace(F.col(text_col), r"\s+$", "")  # readline().rstrip()
-
-    w1 = F.regexp_extract(line, _WORD1, 1)
-    w2 = F.regexp_extract(line, _WORD2, 1)
-    w3 = F.regexp_extract(line, _WORD3, 1)
-    w4 = F.regexp_extract(line, _WORD4, 1)
-
-    th = F.regexp_extract(w2, _TIME_RE, 1)
-    tm = F.regexp_extract(w2, _TIME_RE, 2)
-    ts = F.regexp_extract(w2, _TIME_RE, 3)
-    time_padded = F.concat_ws(":", _zfill2(th), _zfill2(tm), _zfill2(ts))
-    time_ok = th != F.lit("")
-
-    # Format 1: 'yyyy-M-d' date; unix_timestamp -> NULL on invalid (ANSI off)
-    f1_date_ok = w1.rlike(_F1_DATE_RE)
-    ts_f1 = F.when(
-        f1_date_ok & time_ok,
-        F.unix_timestamp(F.concat(w1, F.lit(" "), time_padded), "yyyy-M-d H:mm:ss"),
+    # stage 1: rstrip + word extraction (each regexp evaluated once)
+    s1 = df.withColumn("line", F.regexp_replace(F.col(text_col), r"\s+$", ""))
+    s1 = s1.select(
+        "*",
+        F.regexp_extract("line", _WORD1, 1).alias("_w1"),
+        F.regexp_extract("line", _WORD2, 1).alias("_w2"),
+        F.regexp_extract("line", _WORD3, 1).alias("_w3"),
+        F.regexp_extract("line", _WORD4, 1).alias("_w4"),
     )
 
-    # Format 2: 'yymmdd' with CPython's %y pivot at 69
-    yy = F.regexp_extract(w1, _F2_DATE_RE, 1).cast("int")
+    # stage 2: time components + padded time string
+    s2 = s1.select(
+        "*",
+        F.regexp_extract("_w2", _TIME_RE, 1).alias("_th"),
+        F.regexp_extract("_w2", _TIME_RE, 2).alias("_tm"),
+        F.regexp_extract("_w2", _TIME_RE, 3).alias("_ts"),
+    )
+    s2 = s2.withColumn(
+        "_time_padded",
+        F.concat_ws(
+            ":", _zfill2(F.col("_th")), _zfill2(F.col("_tm")), _zfill2(F.col("_ts"))
+        ),
+    ).withColumn("_time_ok", F.col("_th") != F.lit(""))
+
+    # stage 3: the two timestamp candidates
+    yy = F.regexp_extract("_w1", _F2_DATE_RE, 1).cast("int")
     f2_year = F.when(yy <= 68, yy + 2000).otherwise(yy + 1900)
-    ts_f2 = F.when(
-        w1.rlike(_F2_DATE_RE) & time_ok,
-        F.unix_timestamp(
-            F.concat(
-                f2_year.cast("string"),
-                F.lit("-"),
-                F.regexp_extract(w1, _F2_DATE_RE, 2),
-                F.lit("-"),
-                F.regexp_extract(w1, _F2_DATE_RE, 3),
-                F.lit(" "),
-                time_padded,
+    s3 = s2.select(
+        "*",
+        F.when(
+            F.col("_w1").rlike(_F1_DATE_RE) & F.col("_time_ok"),
+            F.unix_timestamp(
+                F.concat(F.col("_w1"), F.lit(" "), F.col("_time_padded")),
+                "yyyy-M-d H:mm:ss",
             ),
-            "yyyy-MM-dd H:mm:ss",
-        ),
+        ).alias("_ts_f1"),
+        F.when(
+            F.col("_w1").rlike(_F2_DATE_RE) & F.col("_time_ok"),
+            F.unix_timestamp(
+                F.concat(
+                    f2_year.cast("string"),
+                    F.lit("-"),
+                    F.regexp_extract("_w1", _F2_DATE_RE, 2),
+                    F.lit("-"),
+                    F.regexp_extract("_w1", _F2_DATE_RE, 3),
+                    F.lit(" "),
+                    F.col("_time_padded"),
+                ),
+                "yyyy-MM-dd H:mm:ss",
+            ),
+        ).alias("_ts_f2"),
     )
 
-    is_f1 = ts_f1.isNotNull()
-    ts_epoch = F.coalesce(ts_f1, ts_f2)
+    # stage 4: well-formedness + field selection
+    is_f1 = F.col("_ts_f1").isNotNull()
+    ts_epoch = F.coalesce("_ts_f1", "_ts_f2")
     well_formed = ts_epoch.isNotNull()
-
-    level_raw = F.when(is_f1, w4).otherwise(w3)
-    message = F.when(
-        well_formed,
-        F.when(is_f1, F.regexp_extract(line, _REST4, 1)).otherwise(
-            F.regexp_extract(line, _REST3, 1)
-        ),
-    ).otherwise(_strip(line))
-
-    out = (
-        df.withColumn("line", line)
-        .withColumn("is_entry_start", well_formed)
-        .withColumn("ts_epoch", ts_epoch)
-        .withColumn("thread_raw", F.when(is_f1, w3))
-        .withColumn("level_raw", F.when(well_formed, level_raw))
-        .withColumn("message", message)
+    s4 = s3.select(
+        "*",
+        well_formed.alias("is_entry_start"),
+        ts_epoch.alias("ts_epoch"),
+        F.when(is_f1, F.col("_w3")).alias("thread_raw"),
+        F.when(
+            well_formed, F.when(is_f1, F.col("_w4")).otherwise(F.col("_w3"))
+        ).alias("level_raw"),
+        F.when(
+            well_formed,
+            F.when(is_f1, F.regexp_extract("line", _REST4, 1)).otherwise(
+                F.regexp_extract("line", _REST3, 1)
+            ),
+        )
+        .otherwise(_strip(F.col("line")))
+        .alias("message"),
     )
-    return out.withColumn(
-        "severity",
+
+    # stage 5: derived presentation columns
+    out = s4.select(
+        "*",
         F.when(
             F.col("is_entry_start"),
             F.upper(F.translate(F.col("level_raw"), "[]", "")),
-        ),
-    ).withColumn(
-        "short_message",
+        ).alias("severity"),
         F.when(
             F.col("is_entry_start"),
             F.concat(
@@ -142,5 +160,9 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(" "),
                 F.substring(F.col("message"), 1, SHORT_MESSAGE_LENGTH),
             ),
-        ),
+        ).alias("short_message"),
+    )
+    return out.drop(
+        "_w1", "_w2", "_w3", "_w4", "_th", "_tm", "_ts",
+        "_time_padded", "_time_ok", "_ts_f1", "_ts_f2",
     )
