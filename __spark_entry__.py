@@ -26,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_eq.LOG_QUERIES)
+    return dict(_eq.ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_eq.LOG_ORACLES)
+    return dict(_eq.ALL_ORACLES)

@@ -602,3 +602,491 @@ LOG_ORACLES = {
     "tpch_pricing": ORACLE_TPCH_PRICING,
     "join_enrich": ORACLE_JOIN_ENRICH,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup / similarity / text analysis / multimodal
+# (documents + embeddings tables; duplicates synthesized deterministically)
+# ---------------------------------------------------------------------------
+
+from mariadb_to_graylog_spark.operators import dedup as dd  # noqa: E402
+from mariadb_to_graylog_spark.operators import similarity as sim  # noqa: E402
+from mariadb_to_graylog_spark.operators import textstats as tx  # noqa: E402
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 5th doc under new ids."""
+    d = _documents(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(dups)
+
+
+_SQL_EXACT_DUPS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-copies (' xyz' appended) of every 5th doc."""
+    d = _documents(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+_SQL_NEAR_DUPS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' xyz', lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_exact_dups(spark, sf_dir)
+    _, groups = dd.exact_dedup(d)
+    return groups.select(
+        "text_hash",
+        F.col("n").cast("long").alias("n"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH d AS ({_SQL_EXACT_DUPS})
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM d GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS ({_SQL_NEAR_DUPS}),
+g AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 3))) AS grams
+  FROM d
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS j
+  FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(j, 6) AS jaccard
+FROM p WHERE j >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=4)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, shingle_n: int = 4) -> str:
+    params = dd._hash_params(bands * rows_per_band)
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {dd.MERSENNE31})) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS ({_SQL_NEAR_DUPS}),
+h AS (
+  SELECT doc_id AS id,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
+             i -> substr(text, CAST(i AS INT), {shingle_n}))),
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+  FROM d
+),
+sigs AS (
+  SELECT id,
+         {sig_exprs}
+  FROM h
+),
+buckets AS (
+{band_selects}
+)
+SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle_sql()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return dd.simhash(d, bits=32).select(
+        F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    terms = "\n       + ".join(
+        f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << i}) != 0)) > len(hashes) THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id AS id,
+         list_transform(regexp_extract_all(lower(text), '([a-z0-9]+)', 1),
+                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+  FROM documents
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST({terms} AS BIGINT) AS simhash
+FROM h
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle_sql()
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.simhash_pairs(d, block_col="lang", bits=32, max_distance=6)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _simhash_pairs_oracle_sql(bits: int = 32, max_distance: int = 6) -> str:
+    terms = "\n       + ".join(
+        f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << i}) != 0)) > len(hashes) THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH d AS ({_SQL_NEAR_DUPS}),
+h AS (
+  SELECT doc_id AS id, lang AS blk,
+         list_transform(regexp_extract_all(lower(text), '([a-z0-9]+)', 1),
+                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+  FROM d
+),
+s AS (
+  SELECT id, blk, CAST({terms} AS BIGINT) AS sh FROM h
+)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_distance}
+"""
+
+
+ORACLE_SIMHASH_PAIRS = _simhash_pairs_oracle_sql()
+
+
+# --- similarity search ------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str, digits: int = 6) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), {digits})"
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    return sim.knn_bruteforce(e, F.col("vec_id") < 10, k=5)
+
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM p
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos_sim
+FROM r WHERE rk <= 5
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    return sim.knn_ivf(e, F.col("vec_id") < 10, F.col("vec_id") < 8, k=3)
+
+
+ORACLE_KNN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, cent.centroid_id,
+         {_DOT.format(a="e.embedding", b="cent.c_vec")} /
+           (sqrt({_DOT.format(a="e.embedding", b="e.embedding")}) *
+            sqrt({_DOT.format(a="cent.c_vec", b="cent.c_vec")})) AS cs
+  FROM embeddings e, cent
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS bucket
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
+  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM p
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos_sim
+FROM r WHERE rk <= 3
+"""
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    dups = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dups)
+    return sim.embedding_neardup_pairs(both, threshold=0.999, round_digits=6)
+
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos_sim
+FROM p WHERE cos_sim >= 0.999
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    scored = tx.lang_scores(d)
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_lang",
+        "en_score",
+        "de_score",
+        "fr_score",
+    )
+
+
+_STOP_SQL = {
+    "en": r"\b(the|a|of|to|and|in)\b",
+    "de": r"\b(der|die|das|und|ein|zu)\b",
+    "fr": r"\b(le|la|et|les|des|un)\b",
+}
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS BIGINT) AS en_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["de"]}', 1)) AS BIGINT) AS de_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["fr"]}', 1)) AS BIGINT) AS fr_score
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+            WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS pred_lang,
+       en_score, de_score, fr_score
+FROM s
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+ORACLE_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(least(n_tok / 100.0, 1.0) * 0.5
+             + (n_stop / greatest(n_tok, 1.0)) * 0.3
+             + (1.0 - least(n_punct / greatest(n_tok, 1.0), 1.0)) * 0.2, 6) AS quality
+FROM s
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (x, y) -> x + y) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tx.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_meta,
+    )
+
+    d = _documents(spark, sf_dir)
+    media = attach_payload(d)
+    decoded = decode_image_meta(media)
+    return decoded.select("media_id", "kind", "n_bytes", "width", "height", "channels")
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 48 + 12 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM documents
+"""
+
+
+TRAINING_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "embed_neardup": q_embed_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+TRAINING_ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "knn_ivf": ORACLE_KNN_IVF,
+    "embed_neardup": ORACLE_EMBED_NEARDUP,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+}
+
+ALL_QUERIES = {**LOG_QUERIES, **TRAINING_QUERIES}
+ALL_ORACLES = {**LOG_ORACLES, **TRAINING_ORACLES}

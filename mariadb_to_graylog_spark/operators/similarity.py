@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; an IVF-style
+bucketed variant as the scale path (assign every vector to its nearest
+centroid, search only within the query's bucket -- candidate set shrinks
+by ~n_centroids x).
+
+Dot products are sequential left-folds over ``zip_with`` arrays (double
+arithmetic, ascending index), bit-identical to the DuckDB oracle's
+``list_reduce(list_transform(range(...)))`` formulation.  No UDFs: the
+fold runs inside whole-stage codegen.  For very high dimensions a
+Pandas-UDF + numpy matmul variant wins on constant factors; see
+``cosine_topk_pandas`` below (same results, benchmarked in bench.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors for the rows matching ``query_filter``.
+
+    The query side is broadcast (small); candidates stream map-side, the
+    only shuffle is the per-query top-k window over k*|queries| rows.
+    """
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
+    )
+
+
+def assign_buckets(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF assignment: nearest centroid by cosine (ties -> lowest id).
+    Centroids are broadcast; assignment is one map-side pass + a per-vector
+    argmax window over |centroids| rows."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine(F.col(vec_col), F.col(centroid_vec))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(centroid_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(df["*"], F.col(centroid_id).alias("bucket"))
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    query_filter: Column,
+    centroid_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bucketed ANN: search only within the query's IVF bucket."""
+    centroids = df.filter(centroid_filter).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = assign_buckets(df, centroids, id_col, vec_col)
+    q = assigned.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec2"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_bucket") == F.col("q_bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec2")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.999,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine within a blocking key."""
+    blk = F.col(block_col) if block_col else F.lit(1)
+    g = df.select(F.col(id_col).alias("id"), blk.alias("blk"), F.col(vec_col).alias("v"))
+    a = g.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("v_a"))
+    b = g.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("v_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow/numpy variant of knn_bruteforce: per-partition matmul against
+    the broadcast query matrix.  Same results (unrounded ordering may
+    differ on exact FP ties); used for benchmarking the UDF-vs-codegen
+    tradeoff at high dimension."""
+    q_rows = df.filter(query_filter).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    b_norm = spark.sparkContext.broadcast(q_norm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ b_mat.value.T) / np.outer(c_norm, b_norm.value)
+            n_q = len(b_ids.value)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(b_ids.value, len(pdf)),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
+                    "cos_sim": sims.reshape(-1),
+                }
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
+    )

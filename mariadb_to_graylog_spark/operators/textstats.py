@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All pure column expressions (codegen'd, zero
+Python per row), portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"([a-z0-9]+)"
+PUNCT_PATTERN = r"([.,;:!?])"
+
+STOPWORDS = {
+    "en": r"\b(the|a|of|to|and|in)\b",
+    "de": r"\b(der|die|das|und|ein|zu)\b",
+    "fr": r"\b(le|la|et|les|des|un)\b",
+}
+
+
+def tokens(c: Column) -> Column:
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 1)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def stopword_count(c: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(STOPWORDS[lang]), 1)).cast("long")
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword heuristic language ID: argmax of per-language
+    stopword hit counts (ties resolve en > de > fr)."""
+    c = F.col(text_col)
+    scored = df.select(
+        "*",
+        stopword_count(c, "en").alias("en_score"),
+        stopword_count(c, "de").alias("de_score"),
+        stopword_count(c, "fr").alias("fr_score"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_score") >= F.col("de_score"))
+            & (F.col("en_score") >= F.col("fr_score")),
+            F.lit("en"),
+        )
+        .when(F.col("de_score") >= F.col("fr_score"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length saturation + stopword
+    density + punctuation sanity.  Deterministic double arithmetic."""
+    n_tok = F.size(tokens(c)).cast("double")
+    n_stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(STOPWORDS["en"]), 1)).cast("double")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_PATTERN), 1)).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1.0))
+    return F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (n_stop / safe_tok) * 0.3
+        + (F.lit(1.0) - F.least(n_punct / safe_tok, F.lit(1.0))) * 0.2,
+        6,
+    )
+
+
+def normalize_text(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"\s+", " "), r"^\s+|\s+$", ""
+    )
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Whitespace/case-insensitive content fingerprint (md5 of normalized
+    text) -- the exact-dedup key that survives formatting noise."""
+    return F.md5(normalize_text(c))
+
+
+def rolling_hash_shingles(c: Column, window: int = 8, base: int = 31, mod: int = 1_000_003) -> Column:
+    """Rabin-Karp-style rolling hashes of character windows (document
+    fingerprinting / winnowing building block).  Expressed as a
+    higher-order fold per window -- no Python.  (No oracle twin: DuckDB
+    lambdas can't nest the same fold cheaply; covered by unit tests.)"""
+    s = normalize_text(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (window - 1), F.lit(1))),
+        lambda i: F.aggregate(
+            F.split(s.substr(i, F.lit(window)), ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+        ),
+    )
+
+
+def winnow_fingerprint(c: Column, window: int = 8, select_every: int = 4) -> Column:
+    """Winnowing: keep the min rolling hash of each stride -- a compact
+    order-insensitive document sketch."""
+    hashes = rolling_hash_shingles(c, window)
+    n = F.size(hashes)
+    strides = F.sequence(
+        F.lit(0), F.greatest((n - 1) / select_every, F.lit(0)).cast("int")
+    )
+    return F.array_distinct(
+        F.transform(
+            strides,
+            lambda k: F.array_min(
+                F.slice(hashes, k * select_every + 1, select_every)
+            ),
+        )
+    )
