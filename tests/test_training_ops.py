@@ -1,0 +1,154 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+textstats / multimodal) -- the ones with oracle twins are additionally
+value-checked by tools/check_oracle.py and the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeds(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_roundtrip(spark, docs):
+    from mariadb_to_graylog_spark.operators.dedup import exact_dedup
+
+    dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 50000
+    )
+    both = docs.unionByName(dup)
+    deduped, groups = exact_dedup(both)
+    n_docs = docs.count()
+    assert deduped.count() == n_docs  # one survivor per distinct text
+    assert groups.filter(F.col("n") == 2).count() == dup.count()
+    # min-id survivor: original doc wins
+    assert deduped.filter(F.col("doc_id") >= 50000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from mariadb_to_graylog_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = docs.unionByName(near)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(both).collect()}
+    planted = {(r.doc_id, r.doc_id + 50000) for r in docs.filter(F.col("doc_id") % 7 == 0).collect()}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall}"
+    # verify stage: candidates confirmed by jaccard agree with brute force
+    verified = ngram_jaccard_pairs(both, block_col="lang", threshold=0.8)
+    vpairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert planted <= vpairs
+
+
+def test_knn_self_consistency(spark, embeds):
+    from mariadb_to_graylog_spark.operators.similarity import (
+        cosine_topk_pandas,
+        knn_bruteforce,
+    )
+
+    brute = knn_bruteforce(embeds, F.col("vec_id") < 5, k=3)
+    rows = brute.collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    assert all(1 <= r.rank <= 3 and -1.0001 <= r.cos_sim <= 1.0001 for r in rows)
+    # Arrow/numpy variant returns the same neighbor sets
+    arrow = cosine_topk_pandas(embeds, F.col("vec_id") < 5, k=3)
+    a = {(r.query_id, r.neighbor_id) for r in arrow.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in rows}
+    assert a == b
+
+
+def test_winnow_fingerprint_stability(spark):
+    from mariadb_to_graylog_spark.operators.textstats import winnow_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog"),
+         (2, "the  QUICK  brown fox jumps over the lazy dog"),
+         (3, "a completely different document body here")],
+        "id int, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", winnow_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # whitespace/case-insensitive
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_stub_plumbing(spark, docs):
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_meta,
+        decode_image_real,
+        frame_sample,
+    )
+
+    media = attach_payload(docs.limit(30))
+    decoded = decode_image_meta(media)
+    rows = decoded.collect()
+    assert all(r.n_bytes == len(r.payload) for r in rows)
+    assert all(r.width == r.n_bytes % 64 + 16 for r in rows)
+    frames = frame_sample(media)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        decode_image_real(media).collect()
+
+
+def test_streaming_pipeline(spark, transcripts, tmp_path):
+    from mariadb_to_graylog_spark.plans.pipeline import build_routed
+    from mariadb_to_graylog_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        start_pipeline_stream,
+    )
+
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=100)
+    q = start_pipeline_stream(
+        stream, str(tmp_path / "sinks"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sinks"))
+    expected = build_routed(transcripts).filter(F.col("sink") != "dropped")
+    assert got.count() == expected.count()
+    g = {r.sink: r.n for r in got.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
+    e = {r.sink: r.n for r in expected.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g == e
+
+
+def test_streaming_windowed_counts(spark, transcripts, tmp_path):
+    from mariadb_to_graylog_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        windowed_severity_counts,
+    )
+
+    src = str(tmp_path / "src2")
+    transcripts.write.parquet(src)
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=100)
+    agg = windowed_severity_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sevcounts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sevcounts").collect()
+    assert sum(r.n for r in rows) > 0
