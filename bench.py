@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "turns_per_sec": ...}
+
+The headline metric is the north-rule pipeline: parse -> enrich -> route ->
+aggregate over a synthesized transcript table sized to the SF (deterministic
+seed, written once to a temp dir and reused).  A tiny warmup run of the same
+plan precedes the timed run so the measurement is steady-state throughput
+(Spark caches generated code by source text; first-run janino compilation of
+the regexp-heavy stages otherwise dominates at small SF).
+
+Bench-scale tuning (sized-down analogues of cluster settings, see
+BENCH/BASELINE.md): input splits 4MB (>=3 tasks/core on a ~100MB table;
+at 100 TB the default 128MB is right), AQE advisory partition 8MB, shuffle
+partitions 3x cores.
+
+Modes:
+  python bench.py                    # full suite, one JSON line
+  python bench.py --job pipeline     # pipeline only (scaling evidence runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
+
+CONVS_PER_SF = 20000
+MEAN_TURNS = 20
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def bench_spark(cpus: int | None = None, app: str = "bench", shuffle_partitions: int | None = None):
+    from mariadb_to_graylog_spark.session import get_spark
+
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    # scaling-evidence runs fix the partition count across core levels so
+    # per-partition work (sort sizes, spill behavior) is held constant and
+    # only the executor-thread count varies
+    parts = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or max(3 * n, 3)
+    return get_spark(
+        app_name=app,
+        cpus=n,
+        shuffle_partitions=parts,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+        },
+    )
+
+
+def ensure_transcripts(spark, sf: float, n_convs: int | None = None) -> str:
+    n_convs = n_convs or max(64, int(CONVS_PER_SF * sf))
+    path = f"{BENCH_TMP}/transcripts_sf{sf}_{n_convs}"
+    if not (Path(path) / "_SUCCESS").exists():
+        from mariadb_to_graylog_spark.datagen import generate_transcripts
+
+        df = generate_transcripts(spark, n_convs=n_convs, mean_turns=MEAN_TURNS, seed=42)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def ensure_warmup_table(spark) -> str:
+    path = f"{BENCH_TMP}/transcripts_warm"
+    if not (Path(path) / "_SUCCESS").exists():
+        from mariadb_to_graylog_spark.datagen import generate_transcripts
+
+        generate_transcripts(spark, n_convs=32, mean_turns=4, seed=7).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_pipeline_job(spark, transcripts_path: str) -> tuple[float, int, dict]:
+    """The north-rule job, one pass: routed events -> combined
+    (sink, source, severity) counts.  No persist (see combined_counts)."""
+    from mariadb_to_graylog_spark.operators.aggregates import combined_counts
+    from mariadb_to_graylog_spark.plans.pipeline import build_routed
+
+    transcripts = spark.read.parquet(transcripts_path)
+    n_turns = transcripts.count()  # excluded from the timed section
+
+    t0 = time.perf_counter()
+    routed = build_routed(transcripts)
+    rows = combined_counts(routed).collect()
+    sec = time.perf_counter() - t0
+
+    sinks: dict[str, int] = {}
+    hist: dict[str, int] = {}
+    for r in rows:
+        sinks[r.sink] = sinks.get(r.sink, 0) + r.n
+        hist[f"{r.source}/{r.severity}"] = hist.get(f"{r.source}/{r.severity}", 0) + r.n
+    return sec, n_turns, {"n_routed": sum(sinks.values()), "sinks": sinks, "hist": hist}
+
+
+QUERY_NAMES = [
+    "errorlog_entries",
+    "errorlog_gelf",
+    "slowlog_entries",
+    "entry_islands",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "knn_bruteforce",
+    "lang_id",
+    "tpch_pricing",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-convs", type=int, default=None)
+    ap.add_argument("--job", choices=["full", "pipeline"], default="full")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    spark = bench_spark(args.cpus, shuffle_partitions=args.shuffle_partitions)
+    sf = _sf_of(args.sf_dir)
+
+    tpath = ensure_transcripts(spark, sf, args.n_convs)
+    warm = ensure_warmup_table(spark)
+    run_pipeline_job(spark, warm)  # codegen + JIT warmup, steady-state measure
+
+    pipe_sec, n_turns, detail = run_pipeline_job(spark, tpath)
+
+    if args.job == "pipeline":
+        print(
+            json.dumps(
+                {
+                    "sec": round(pipe_sec, 3),
+                    "turns": n_turns,
+                    "turns_per_sec": round(n_turns / pipe_sec, 1),
+                    **detail,
+                }
+            )
+        )
+        return 0
+
+    queries: dict[str, float] = {"pipeline_e2e": round(pipe_sec, 3)}
+    if not args.skip_queries:
+        import mariadb_to_graylog_spark.entry_queries as eq
+
+        for name in QUERY_NAMES:
+            fn = eq.ALL_QUERIES[name]
+            fn(spark, args.sf_dir).limit(1).count()  # plan/codegen warmup
+            t0 = time.perf_counter()
+            fn(spark, args.sf_dir).count()
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "parse_route_aggregate_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / pipe_sec, 1),
+                "n_routed": detail["n_routed"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""spark-submit entry point: the full parse -> enrich -> route -> aggregate
+pipeline over a transcripts table, with lineage checkpointing and resume.
+
+Mirrors the reference's CLI surface (SURVEY.md C5,
+mariadb-log-consumer.py:145-326) where it still makes sense in a
+distributed batch world:
+
+  --log-type        -> auto-detected per conversation (ERROR vs SLOW); the
+                       flag forces one dialect if given
+  --offset/--limit  -> exact-N turn skip/cap (SRC3/SRC4; the reference is
+                       approximately-N, divergence documented in SURVEY.md)
+  --stop            -> batch (EOF) vs streaming (NEVER) execution
+  --label/--hostname, sink toggles -> as in the reference
+
+Cluster usage:
+  spark-submit --py-files mariadb_to_graylog_spark.zip jobs/run_pipeline.py \
+      --input s3://.../transcripts --output s3://.../sinks \
+      --lineage s3://.../lineage --resume
+
+Exit codes mirror the reference (README.md:92-99): 0 success, 2 bad args.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(prog="run_pipeline")
+    ap.add_argument("--input", required=True, help="transcripts path / Iceberg table")
+    ap.add_argument("--output", required=True, help="sink fan-out base path")
+    ap.add_argument("--lineage", help="lineage/checkpoint table path")
+    ap.add_argument("--metrics", help="aggregates output path")
+    ap.add_argument("--resume", action="store_true", help="resume from lineage HWMs")
+    ap.add_argument("--log-type", choices=["AUTO", "ERROR", "SLOW"], default="AUTO")
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--stop", choices=["EOF", "NEVER"], default="EOF")
+    ap.add_argument("--hostname", default="sparkhost")
+    ap.add_argument("--label", default="mariadb_to_graylog_spark")
+    ap.add_argument("--mode", choices=["strict", "intended"], default="strict")
+    ap.add_argument("--serializer", choices=["compat", "strict"], default="compat")
+    ap.add_argument("--emit-trailing", action="store_true")
+    ap.add_argument("--scalable-entry-ids", action="store_true")
+    ap.add_argument("--no-udp", action="store_true")
+    ap.add_argument("--no-tcp", action="store_true")
+    ap.add_argument("--no-http", action="store_true")
+    ap.add_argument("--eof-wait", type=int, default=1000, help="stream trigger ms")
+    ap.add_argument("--checkpoint", help="streaming checkpoint dir (stop=NEVER)")
+    args = ap.parse_args(argv)
+    if args.stop == "NEVER" and not args.checkpoint:
+        ap.error("--stop=NEVER requires --checkpoint")  # exit code 2
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.aggregates import combined_counts
+    from mariadb_to_graylog_spark.operators.routing import RouterConfig, write_fanout
+    from mariadb_to_graylog_spark.plans.pipeline import PipelineConfig, build_routed
+    from mariadb_to_graylog_spark.sources import transcripts as src
+
+    spark = SparkSession.builder.appName(args.label).getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    cfg = PipelineConfig(
+        hostname=args.hostname,
+        mode=args.mode,
+        serializer=args.serializer,
+        emit_trailing=args.emit_trailing,
+        scalable=args.scalable_entry_ids,
+        router=RouterConfig(
+            udp=not args.no_udp, tcp=not args.no_tcp, http=not args.no_http
+        ),
+    )
+
+    if args.stop == "NEVER":
+        from mariadb_to_graylog_spark.streaming.stream_pipeline import (
+            read_transcript_stream,
+            start_pipeline_stream,
+        )
+
+        stream = read_transcript_stream(spark, args.input)
+        q = start_pipeline_stream(
+            stream, args.output, args.checkpoint, cfg, eof_wait_ms=args.eof_wait
+        )
+        q.awaitTermination()
+        return 0
+
+    transcripts = src.read_transcripts(spark, args.input)
+    if args.resume and args.lineage:
+        transcripts = src.resume_filter(
+            transcripts, src.read_lineage(spark, args.lineage)
+        )
+    if args.offset or args.limit is not None:
+        transcripts = src.skip_offset_limit(transcripts, args.offset, args.limit)
+
+    routed = build_routed(transcripts, cfg)
+    write_fanout(routed, args.output)
+
+    # aggregates + lineage read the just-written sink tables: one extra scan
+    # of the (much smaller) routed output instead of recomputing the plan
+    written = spark.read.parquet(args.output)
+    if args.metrics:
+        combined_counts(written).write.mode("append").parquet(args.metrics)
+    if args.lineage:
+        lineage = src.build_lineage(transcripts, written, run_id=src.new_run_id())
+        src.write_lineage(lineage, args.lineage)
+
+    n = written.count()
+    print(f"routed {n} events -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,7 +78,24 @@ def classify_slow_log_lines(
     text_col: str = "text",
 ) -> DataFrame:
     """Line classification (P6): adds ``line, is_meta, is_sql, entry_id,
-    sql_pos`` columns.  Empty lines are removed (FSM no-ops)."""
+    sql_pos`` columns.  Empty lines are removed (FSM no-ops).
+
+    Physical shape: every window below shares ONE spec -- partitionBy
+    conv_id, orderBy turn_idx -- so the whole classification costs a single
+    sort (Catalyst chains the window functions into consecutive WindowExec
+    nodes without re-sorting).  The earlier formulation partitioned helper
+    windows by (conv, hash_run) and (conv, entry), adding two more full
+    sorts per pass; because runs and entries are contiguous in turn order,
+    each per-run/per-entry quantity is re-expressed as a running max over
+    the turn ordering instead:
+
+    * first-Time-of-run (entry start)  -> 'the last Time line seen lies
+      before my run's start turn';
+    * same-run-as-entry-start (META)   -> 'the last entry start lies at or
+      after my run's start turn';
+    * SQL position within entry        -> global running SQL count minus
+      its value at the entry start.
+    """
     line = F.regexp_replace(F.col(text_col), r"\s+$", "")
     out = df.withColumn("line", line).filter(F.col("line") != "")
 
@@ -88,48 +105,55 @@ def classify_slow_log_lines(
 
     w = Window.partitionBy(conv_col).orderBy(order_col)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
 
-    # maximal runs of consecutive '# ' lines
-    run_start = (
-        F.col("_is_hash")
-        & F.coalesce(~F.lag("_is_hash").over(w), F.lit(True))
+    # start turn of the current maximal '# '-run (valid for hash rows)
+    run_start = F.col("_is_hash") & F.coalesce(
+        ~F.lag("_is_hash").over(w), F.lit(True)
     )
-    out = out.withColumn("_run_id", F.sum(run_start.cast("long")).over(w_cum))
-    out = out.withColumn("_run_id", F.when(F.col("_is_hash"), F.col("_run_id")))
+    out = out.withColumn(
+        "_run_start_turn",
+        F.max(F.when(run_start, F.col(order_col))).over(w_cum),
+    )
 
-    # entry start = first '# Time:' of its hash-run
-    w_run = Window.partitionBy(conv_col, "_run_id")
-    first_time_turn = F.min(F.when(F.col("_is_time"), F.col(order_col))).over(w_run)
+    # entry start = '# Time:' line with no earlier Time inside its run
+    prev_time_turn = F.max(F.when(F.col("_is_time"), F.col(order_col))).over(w_prev)
     out = out.withColumn(
         "is_entry_start",
-        F.col("_is_time") & (F.col(order_col) == first_time_turn),
+        F.col("_is_time")
+        & (
+            prev_time_turn.isNull()
+            | (prev_time_turn < F.col("_run_start_turn"))
+        ),
     )
 
     out = out.withColumn(
         "entry_id", F.sum(F.col("is_entry_start").cast("long")).over(w_cum)
-    ).filter(F.col("entry_id") > 0)
-
-    # META = same hash-run as the entry's start line (start has min turn_idx)
-    w_entry_cum = (
-        Window.partitionBy(conv_col, "entry_id")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start_run = F.first("_run_id").over(w_entry_cum)
+
+    # META = hash line whose run contains the current entry's start
+    last_entry_start_turn = F.max(
+        F.when(F.col("is_entry_start"), F.col(order_col))
+    ).over(w_cum)
     out = out.withColumn(
-        "is_meta", F.col("_is_hash") & (F.col("_run_id") == start_run)
+        "is_meta",
+        F.col("_is_hash") & (last_entry_start_turn >= F.col("_run_start_turn")),
     )
     out = out.withColumn("is_sql", ~F.col("is_meta"))
 
     # 0-based SQL-section line number (query_line), counting skipped lines
+    sql_cum = F.sum(F.col("is_sql").cast("long")).over(w_cum)
+    out = out.withColumn("_sql_cum", sql_cum)
+    entry_base = F.max(
+        F.when(F.col("is_entry_start"), F.col("_sql_cum"))
+    ).over(w_cum)
     out = out.withColumn(
-        "sql_pos",
-        F.when(
-            F.col("is_sql"),
-            F.sum(F.col("is_sql").cast("long")).over(w_entry_cum) - 1,
-        ),
+        "sql_pos", F.when(F.col("is_sql"), F.col("_sql_cum") - entry_base - 1)
     )
-    return out.drop("_is_hash", "_is_time", "_run_id")
+    return (
+        out.filter(F.col("entry_id") > 0)
+        .drop("_is_hash", "_is_time", "_run_start_turn", "_sql_cum")
+    )
 
 
 def _meta_extract_cols(line: Column) -> list[Column]:
