@@ -1,0 +1,63 @@
+"""Property-based tests (SURVEY.md section 5.4) -- pure-Python components,
+no Spark session: the reference-semantics simulator and the fingerprint
+normalizer hold their invariants on arbitrary input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reference_sim import parse_error_line, simulate_error_log, simulate_slow_log
+from mariadb_to_graylog_spark.operators.fingerprint import fingerprint_py
+
+line_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r"),
+    max_size=120,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(line_st, max_size=30))
+def test_error_sim_entry_count_invariant(lines):
+    """entries emitted == count of well-formed lines (strict mode flushes
+    one entry per well-formed line, incl. the EOF flush)."""
+    lines = [l.replace("\n", " ") for l in lines]
+    n_wf = sum(1 for l in lines if parse_error_line(l.rstrip())["well_formed"])
+    out = simulate_error_log(lines)
+    assert len(out) == n_wf
+    for m in out:
+        assert set(m) == {"version", "host", "short_message", "timestamp", "level", "_text"}
+        assert m["level"] in {"3", "4", "6", "UNKNOWN"}
+        int(m["timestamp"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(line_st, max_size=40), st.booleans())
+def test_slow_sim_never_crashes_and_lag_invariant(lines, emit_trailing):
+    lines = [l.replace("\n", " ") for l in lines]
+    out = simulate_slow_log(lines, emit_trailing=emit_trailing)
+    # every emitted entry's raw text is '' or starts with the reference's
+    # leading newline artifact
+    for e in out:
+        assert e["query_text"] == "" or e["query_text"].startswith("\n")
+    # emitting the trailing entry can only add entries
+    assert len(simulate_slow_log(lines, emit_trailing=True)) >= len(
+        simulate_slow_log(lines, emit_trailing=False)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_fingerprint_idempotent_and_digit_free(q):
+    fp = fingerprint_py(q)
+    assert fingerprint_py(fp) == fingerprint_py(fingerprint_py(fp))
+    # whitespace collapsed
+    assert "\n" not in fp and "  " not in fp
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 10**9), st.lists(st.integers(0, 9999), min_size=2, max_size=8))
+def test_fingerprint_parametrizes_literals(n, in_list):
+    q = f"SELECT * FROM t WHERE a = {n} AND b IN ({', '.join(map(str, in_list))})"
+    fp = fingerprint_py(q)
+    assert fp == "SELECT * from t where a = ? and b in (?+)"
