@@ -52,6 +52,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--no-http", action="store_true")
     ap.add_argument("--eof-wait", type=int, default=1000, help="stream trigger ms")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (stop=NEVER)")
+    ap.add_argument(
+        "--debug-gelf",
+        action="store_true",
+        help="print sample GELF messages (M5, Registry.DEBUG['GELF_MESSAGES'])",
+    )
     args = ap.parse_args(argv)
     if args.stop == "NEVER" and not args.checkpoint:
         ap.error("--stop=NEVER requires --checkpoint")  # exit code 2
@@ -84,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.stop == "NEVER":
+        import signal
+
         from mariadb_to_graylog_spark.streaming.stream_pipeline import (
             read_transcript_stream,
             start_pipeline_stream,
@@ -93,6 +100,15 @@ def main(argv: list[str] | None = None) -> int:
         q = start_pipeline_stream(
             stream, args.output, args.checkpoint, cfg, eof_wait_ms=args.eof_wait
         )
+
+        # C4: SIGINT/SIGTERM -> graceful stop at a micro-batch boundary (the
+        # reference defers signals around its send+log critical section;
+        # Structured Streaming's checkpoint gives that atomicity for free)
+        def _stop(signum, frame):  # noqa: ARG001
+            q.stop()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
         q.awaitTermination()
         return 0
 
@@ -105,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         transcripts = src.skip_offset_limit(transcripts, args.offset, args.limit)
 
     routed = build_routed(transcripts, cfg)
+    if args.debug_gelf:
+        routed.select("gelf_json").show(20, truncate=False)
     write_fanout(routed, args.output)
 
     # aggregates + lineage read the just-written sink tables: one extra scan
