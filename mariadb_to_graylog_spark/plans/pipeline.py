@@ -83,6 +83,7 @@ class PipelineConfig:
     serializer: str = "compat"  # 'compat' (byte-equal) | 'strict' (valid JSON)
     slow_warn_seconds: float = 1.0
     scalable: bool = False  # block-local prefix-sum entry ids
+    share_scan: str = "recompute"  # 'recompute' | 'persist' (see split_dialects)
     router: RouterConfig = field(default_factory=RouterConfig)
     use_pandas_udf_metrics: bool = False
 
@@ -92,16 +93,24 @@ def _slow_signature(text_col: str = "text"):
     return (F.substring(line, 1, 2) == "# ") & (F.substring(line, 2, 6) == " Time:")
 
 
-def split_dialects(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_dialects(
+    transcripts: DataFrame, share_scan: str = "recompute"
+) -> tuple[DataFrame, DataFrame]:
     """(error_convs, slow_convs): dialect = does the conversation contain a
     slow-log entry-start line.
 
-    The input is explicitly repartitioned on conv_id FIRST, so the dialect
-    window and both branches' downstream windows / groupBys all hang off
-    one identical exchange subtree -- AQE's ReuseExchange computes the
-    scan+shuffle once instead of once per branch (halves shuffle volume;
-    measured ~1.7x on the 24M-turn bench).  The dialect flag itself is a
-    partition-only window (sort on conv_id alone, no turn ordering).
+    The input is explicitly repartitioned on conv_id FIRST so the dialect
+    window and both branches' downstream windows / groupBys all reuse that
+    partitioning: each branch runs scan -> one exchange -> ONE
+    (conv_id, turn_idx) sort -> chained windows, with no further shuffles
+    or sorts until the per-entry aggregate.
+
+    ``share_scan='persist'`` additionally caches the flagged DataFrame so
+    the scan+shuffle+sort+dialect-window runs once for both branches
+    (instead of once per branch -- AQE's stage dedup does not fire across
+    these union arms).  Recompute is the 100 TB default: the branch
+    pipelines are embarrassingly parallel and re-scanning columnar input
+    is usually cheaper than caching the full fact table.
     """
     prepared = transcripts.repartition("conv_id")
     # orderBy + unbounded-both frame computes the same whole-partition max
@@ -116,6 +125,8 @@ def split_dialects(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     flagged = prepared.withColumn(
         "_is_slow_conv", F.max(_slow_signature().cast("int")).over(w) > 0
     )
+    if share_scan == "persist":
+        flagged = flagged.persist()
     return (
         flagged.filter(~F.col("_is_slow_conv")).drop("_is_slow_conv"),
         flagged.filter(F.col("_is_slow_conv")).drop("_is_slow_conv"),
@@ -202,7 +213,7 @@ def enrich(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def build_routed(transcripts: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """The full logical plan, unexecuted: routed GELF events."""
     cfg = cfg or PipelineConfig()
-    err_convs, slow_convs = split_dialects(transcripts)
+    err_convs, slow_convs = split_dialects(transcripts, share_scan=cfg.share_scan)
     events = error_events(err_convs, cfg).unionByName(slow_events(slow_convs, cfg))
     enriched = enrich(events, cfg)
     return route(enriched, cfg=cfg.router)
