@@ -37,7 +37,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
 
-CONVS_PER_SF = 20000
+CONVS_PER_SF = 100_000  # ~50 turns/conv -> sf0.1 = ~5e5 turns, sf1 = ~5e6
 MEAN_TURNS = 20
 
 
