@@ -120,10 +120,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.offset or args.limit is not None:
         transcripts = src.skip_offset_limit(transcripts, args.offset, args.limit)
 
+    from pyspark.sql import Observation
+
     routed = build_routed(transcripts, cfg)
     if args.debug_gelf:
         routed.select("gelf_json").show(20, truncate=False)
+
+    # A1 counters ride along the fan-out write as observed metrics -- no
+    # second pass over routed rows (the reference's Request_Counters, but
+    # collected distributedly during the one real action)
+    obs = Observation("run_counters")
+    routed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.coalesce(
+            F.sum((F.col("sink") == "dropped").cast("long")), F.lit(0)
+        ).alias("rows_dropped"),
+    )
     write_fanout(routed, args.output)
+    counters = obs.get
+    print(
+        f"routed {counters['rows_total'] - counters['rows_dropped']} events "
+        f"({counters['rows_dropped']} dropped) -> {args.output}"
+    )
 
     # aggregates + lineage read the just-written sink tables: one extra scan
     # of the (much smaller) routed output instead of recomputing the plan
@@ -133,9 +152,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.lineage:
         lineage = src.build_lineage(transcripts, written, run_id=src.new_run_id())
         src.write_lineage(lineage, args.lineage)
-
-    n = written.count()
-    print(f"routed {n} events -> {args.output}")
     return 0
 
 
