@@ -139,19 +139,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     write_fanout(routed, args.output)
     counters = obs.get
+    n_routed = counters["rows_total"] - counters["rows_dropped"]
     print(
-        f"routed {counters['rows_total'] - counters['rows_dropped']} events "
+        f"routed {n_routed} events "
         f"({counters['rows_dropped']} dropped) -> {args.output}"
     )
 
     # aggregates + lineage read the just-written sink tables: one extra scan
-    # of the (much smaller) routed output instead of recomputing the plan
-    written = spark.read.parquet(args.output)
-    if args.metrics:
-        combined_counts(written).write.mode("append").parquet(args.metrics)
-    if args.lineage:
-        lineage = src.build_lineage(transcripts, written, run_id=src.new_run_id())
-        src.write_lineage(lineage, args.lineage)
+    # of the (much smaller) routed output instead of recomputing the plan.
+    # A fully-consumed resume run routes nothing: no files to read back.
+    if n_routed > 0:
+        written = spark.read.parquet(args.output)
+        if args.metrics:
+            combined_counts(written).write.mode("append").parquet(args.metrics)
+        if args.lineage:
+            lineage = src.build_lineage(transcripts, written, run_id=src.new_run_id())
+            src.write_lineage(lineage, args.lineage)
     return 0
 
 
