@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName(args.label).getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # permissive parser semantics: malformed input -> NULL/continuation,
+    # never a runtime error (Spark 4 defaults ANSI on; the reference never
+    # aborts on bad lines -- C6)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
     cfg = PipelineConfig(
         hostname=args.hostname,

@@ -36,23 +36,15 @@ from pyspark.sql import functions as F
 
 SHORT_MESSAGE_LENGTH = 20  # registry.py:31
 
-_WORD1 = r"^\s*(\S+)"
-_WORD2 = r"^\s*\S+\s+(\S+)"
-_WORD3 = r"^\s*\S+\s+\S+\s+(\S+)"
-_WORD4 = r"^\s*\S+\s+\S+\s+\S+\s+(\S+)"
-_REST3 = r"^\s*\S+\s+\S+\s+\S+\s+(\S.*)$"
-_REST4 = r"^\s*\S+\s+\S+\s+\S+\s+\S+\s+(\S.*)$"
-
-# time must split into >=3 ':'-separated numeric parts (parts beyond the
-# third are ignored, matching time_list[0..2] indexing at :655-656)
-_TIME_RE = r"^(\d{1,2}):(\d{1,2}):(\d{1,2})(?::.*)?$"
 _F1_DATE_RE = r"^\d{4}-\d{1,2}-\d{1,2}$"
 _F2_DATE_RE = r"^(\d{2})(\d{2})(\d{2})$"
 
 
 def _zfill2(c: Column) -> Column:
-    # str.zfill(2) pads but never truncates (Spark's lpad truncates).
-    return F.when(F.length(c) >= 2, c).otherwise(F.concat(F.lit("0"), c))
+    # str.zfill(2) pads but never truncates (Spark's lpad truncates);
+    # note ''.zfill(2) == '00', so empty time components become midnight
+    # parts exactly like the reference (:655-656).
+    return F.when(F.length(c) >= 2, c).otherwise(F.lpad(c, 2, "0"))
 
 
 def _strip(c: Column) -> Column:
@@ -71,29 +63,48 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     WholeStageCodegen).  The parquet scan still prunes to the referenced
     columns only.
     """
-    # stage 1: rstrip + word extraction (each regexp evaluated once)
+    # stage 1: rstrip + tokenization.  One split pass replaces per-word
+    # regexp_extracts (measured: the parse stage is CPU-bound, ~91% of
+    # executor time; each regexp_extract is a separate regex execution).
+    # split(_, '\s+', limit) consumes separator runs exactly like the
+    # reference's cursor (P1): tokens 1..4 = words, token 5 = the stripped
+    # remainder with interior whitespace preserved.
     s1 = df.withColumn("line", F.regexp_replace(F.col(text_col), r"\s+$", ""))
+    s1 = s1.withColumn("_lstripped", F.regexp_replace(F.col("line"), r"^\s+", ""))
     s1 = s1.select(
         "*",
-        F.regexp_extract("line", _WORD1, 1).alias("_w1"),
-        F.regexp_extract("line", _WORD2, 1).alias("_w2"),
-        F.regexp_extract("line", _WORD3, 1).alias("_w3"),
-        F.regexp_extract("line", _WORD4, 1).alias("_w4"),
+        F.split("_lstripped", r"\s+", 5).alias("_tok5"),
+    )
+    # try_element_at: NULL (not an ANSI error) when the line has fewer tokens
+    tok = lambda i: F.coalesce(F.try_element_at("_tok5", F.lit(i)), F.lit(""))  # noqa: E731
+    s1 = s1.select(
+        "*",
+        tok(1).alias("_w1"),
+        tok(2).alias("_w2"),
+        tok(3).alias("_w3"),
+        tok(4).alias("_w4"),
     )
 
-    # stage 2: time components + padded time string
-    s2 = s1.select(
-        "*",
-        F.regexp_extract("_w2", _TIME_RE, 1).alias("_th"),
-        F.regexp_extract("_w2", _TIME_RE, 2).alias("_tm"),
-        F.regexp_extract("_w2", _TIME_RE, 3).alias("_ts"),
+    # stage 2: time components + padded time string (one split on ':')
+    s2 = s1.select("*", F.split("_w2", ":").alias("_tparts"))
+    part = lambda i: F.try_element_at("_tparts", F.lit(i))  # noqa: E731
+    # a component zfills cleanly iff empty or 1-2 digits ('' -> '00');
+    # anything else fails strptime in the reference
+    digits = lambda c: c.rlike(r"^\d{0,2}$")  # noqa: E731
+    s2 = s2.withColumn(
+        "_time_ok",
+        (F.size("_tparts") >= 3)
+        & digits(part(1))
+        & digits(part(2))
+        & digits(part(3)),
     )
     s2 = s2.withColumn(
         "_time_padded",
-        F.concat_ws(
-            ":", _zfill2(F.col("_th")), _zfill2(F.col("_tm")), _zfill2(F.col("_ts"))
+        F.when(
+            F.col("_time_ok"),
+            F.concat_ws(":", _zfill2(part(1)), _zfill2(part(2)), _zfill2(part(3))),
         ),
-    ).withColumn("_time_ok", F.col("_th") != F.lit(""))
+    )
 
     # stage 3: the two timestamp candidates
     yy = F.regexp_extract("_w1", _F2_DATE_RE, 1).cast("int")
@@ -124,10 +135,17 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("_ts_f2"),
     )
 
-    # stage 4: well-formedness + field selection
+    # stage 4: well-formedness + field selection.  F1's message is the
+    # remainder after word 4 (token 5 of the limit-5 split); F2's is the
+    # remainder after word 3, which needs its own limit-4 split so interior
+    # whitespace survives (the reference's to_end strip, :517-523).
     is_f1 = F.col("_ts_f1").isNotNull()
     ts_epoch = F.coalesce("_ts_f1", "_ts_f2")
     well_formed = ts_epoch.isNotNull()
+    rest4 = F.coalesce(F.try_element_at("_tok5", F.lit(5)), F.lit(""))
+    rest3 = F.coalesce(
+        F.try_element_at(F.split("_lstripped", r"\s+", 4), F.lit(4)), F.lit("")
+    )
     s4 = s3.select(
         "*",
         well_formed.alias("is_entry_start"),
@@ -136,12 +154,7 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(
             well_formed, F.when(is_f1, F.col("_w4")).otherwise(F.col("_w3"))
         ).alias("level_raw"),
-        F.when(
-            well_formed,
-            F.when(is_f1, F.regexp_extract("line", _REST4, 1)).otherwise(
-                F.regexp_extract("line", _REST3, 1)
-            ),
-        )
+        F.when(well_formed, F.when(is_f1, rest4).otherwise(rest3))
         .otherwise(_strip(F.col("line")))
         .alias("message"),
     )
@@ -163,6 +176,6 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("short_message"),
     )
     return out.drop(
-        "_w1", "_w2", "_w3", "_w4", "_th", "_tm", "_ts",
+        "_lstripped", "_tok5", "_tparts", "_w1", "_w2", "_w3", "_w4",
         "_time_padded", "_time_ok", "_ts_f1", "_ts_f2",
     )

@@ -31,6 +31,8 @@ CORPUS = [
     "2019-13-01 16:10:56 0 [Note] month out of range -> continuation",
     "20191301 16:10:56 [Note] f2 month out of range -> continuation",
     "2019-11-01 16:70:00 0 [Note] minute out of range -> continuation",
+    "2019-11-01 :: 0 [Note] empty time parts zfill to 00 -> midnight, well-formed",
+    "2019-11-01 1:: 0 [Note] partial empty parts",
 ]
 
 
