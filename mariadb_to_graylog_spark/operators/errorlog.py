@@ -106,31 +106,38 @@ def parse_error_log_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
 
-    # stage 3: the two timestamp candidates
-    yy = F.regexp_extract("_w1", _F2_DATE_RE, 1).cast("int")
+    # stage 3: the two timestamp candidates.  try_to_timestamp +
+    # unix_seconds: NULL on out-of-range dates under ANY session ANSI mode
+    # (plain unix_timestamp RAISES under ANSI, but an unparseable date is
+    # this parser's well-formedness *signal*, not an error)
+    yy = F.regexp_extract("_w1", _F2_DATE_RE, 1).try_cast("int")
     f2_year = F.when(yy <= 68, yy + 2000).otherwise(yy + 1900)
     s3 = s2.select(
         "*",
         F.when(
             F.col("_w1").rlike(_F1_DATE_RE) & F.col("_time_ok"),
-            F.unix_timestamp(
-                F.concat(F.col("_w1"), F.lit(" "), F.col("_time_padded")),
-                "yyyy-M-d H:mm:ss",
+            F.unix_seconds(
+                F.try_to_timestamp(
+                    F.concat(F.col("_w1"), F.lit(" "), F.col("_time_padded")),
+                    F.lit("yyyy-M-d H:mm:ss"),
+                )
             ),
         ).alias("_ts_f1"),
         F.when(
             F.col("_w1").rlike(_F2_DATE_RE) & F.col("_time_ok"),
-            F.unix_timestamp(
-                F.concat(
-                    f2_year.cast("string"),
-                    F.lit("-"),
-                    F.regexp_extract("_w1", _F2_DATE_RE, 2),
-                    F.lit("-"),
-                    F.regexp_extract("_w1", _F2_DATE_RE, 3),
-                    F.lit(" "),
-                    F.col("_time_padded"),
-                ),
-                "yyyy-MM-dd H:mm:ss",
+            F.unix_seconds(
+                F.try_to_timestamp(
+                    F.concat(
+                        f2_year.cast("string"),
+                        F.lit("-"),
+                        F.regexp_extract("_w1", _F2_DATE_RE, 2),
+                        F.lit("-"),
+                        F.regexp_extract("_w1", _F2_DATE_RE, 3),
+                        F.lit(" "),
+                        F.col("_time_padded"),
+                    ),
+                    F.lit("yyyy-MM-dd H:mm:ss"),
+                )
             ),
         ).alias("_ts_f2"),
     )

@@ -160,7 +160,8 @@ def _meta_extract_cols(line: Column) -> list[Column]:
     cols = []
     for name, (pat, typ) in META_FIELD_PATTERNS.items():
         v = F.regexp_extract(line, pat, 1)
-        cols.append(F.when(v != "", v).cast(typ).alias(f"_m_{name}"))
+        # try_cast: regex-validated but overflow-able digits must not ANSI-abort
+        cols.append(F.when(v != "", v).try_cast(typ).alias(f"_m_{name}"))
     return cols
 
 
@@ -205,7 +206,7 @@ def assemble_slow_entries(
     # SET timestamp harvest (P8): exact line[14:len-1] slice semantics
     set_ts = F.when(
         (F.col("sql_pos") == 1) & (F.substring("line", 1, 14) == "SET timestamp="),
-        F.substring(F.col("line"), 15, F.length("line") - F.lit(15)).cast("long"),
+        F.substring(F.col("line"), 15, F.length("line") - F.lit(15)).try_cast("long"),
     )
     skip = (
         ((F.col("sql_pos") == 0) & (F.substring("line", 1, 4) == "use "))
@@ -215,8 +216,8 @@ def assemble_slow_entries(
 
     # intended '# Time:' parse: 'yymmdd H:mm:ss' (pivot 69) or ISO datetime
     t_raw = F.regexp_extract("line", r"^# Time:\s+(.*\S)\s*$", 1)
-    yy = F.regexp_extract(t_raw, r"^(\d{2})(\d{2})(\d{2})\s", 1).cast("int")
-    t_f2 = F.unix_timestamp(
+    yy = F.regexp_extract(t_raw, r"^(\d{2})(\d{2})(\d{2})\s", 1).try_cast("int")
+    t_f2 = F.unix_seconds(F.try_to_timestamp(
         F.concat(
             F.when(yy <= 68, yy + 2000).otherwise(yy + 1900).cast("string"),
             F.lit("-"),
@@ -226,9 +227,11 @@ def assemble_slow_entries(
             F.lit(" "),
             F.regexp_extract(t_raw, r"^\d{6}\s+(\d{1,2}:\d{2}:\d{2})$", 1),
         ),
-        "yyyy-MM-dd H:mm:ss",
+        F.lit("yyyy-MM-dd H:mm:ss"),
+    ))
+    t_iso = F.unix_seconds(
+        F.try_to_timestamp(t_raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     )
-    t_iso = F.unix_timestamp(t_raw, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     df = df.withColumn(
         "_time_line_ts", F.when(F.col("is_entry_start"), F.coalesce(t_f2, t_iso))
     )

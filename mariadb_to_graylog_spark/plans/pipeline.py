@@ -149,7 +149,7 @@ def error_events(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "severity",
         "short_message",
         F.col("message").alias("text"),
-        F.col("thread_raw").cast("long").alias("thread_id"),
+        F.col("thread_raw").try_cast("long").alias("thread_id"),
         F.lit(None).cast("double").alias("query_time"),
         F.lit(None).cast("double").alias("lock_time"),
         F.lit(None).cast("long").alias("rows_sent"),

@@ -1,0 +1,96 @@
+"""The engine must behave identically under Spark 4's default ANSI mode --
+a library consumer brings their own session, and the parser's
+well-formedness logic is built on null-on-invalid, never raise.
+
+Found by end-to-end verification: a bare 3-token line crashed
+``element_at`` under ANSI while every ansi-off test session passed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import make_conv
+from reference_sim import simulate_error_log, simulate_slow_log
+from mariadb_to_graylog_spark.operators.errorlog import parse_error_log_lines
+from mariadb_to_graylog_spark.operators.slowlog import parse_slow_log
+from mariadb_to_graylog_spark.operators.assembly import assemble_error_entries
+
+EDGE_LINES = [
+    "2019-11-01 16:10:48",  # 3 tokens: OOB element_at under ANSI
+    "2019-13-01 16:10:48 0 [Note] month 13 -> malformed, not an error",
+    "2019-11-01 :: 0 [Note] empty time parts",
+    "99999999999999999999 12:00:00 [Note] huge non-date token",
+    "short",
+    "",
+]
+
+SLOW_EDGE = [
+    "# Time: 231030 12:40:21",
+    "SET timestamp=notanumber;",  # pos 0: kept as text (position quirk)
+    "SELECT 1;",
+    "# Time: 991340 99:99:99",  # out-of-range Time line -> NULL ts
+    "SELECT 2;",
+    "# Time: 231030 12:41:00",
+    "SELECT 3;",
+]
+
+# 'use' line shifts the garbage SET to position 1: the reference would
+# crash on int('notanumber') (C6 aborts the run); this engine skips the
+# line and records NULL -- fix-with-flag divergence (SURVEY.md section 7)
+SLOW_GARBAGE_SET = [
+    "# Time: 231030 12:40:21",
+    "use shop;",
+    "SET timestamp=notanumber;",
+    "SELECT 1;",
+    "# Time: 231030 12:41:00",
+    "SELECT 2;",
+]
+
+
+@pytest.fixture()
+def ansi_on(spark):
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_error_parse_ansi_on_matches_simulator(ansi_on):
+    spark = ansi_on
+    df = make_conv(spark, EDGE_LINES)
+    entries = assemble_error_entries(
+        parse_error_log_lines(df), mode="strict"
+    ).orderBy("entry_id").collect()
+    expected = simulate_error_log(EDGE_LINES)
+    assert len(entries) == len(expected)
+    for row, exp in zip(entries, expected):
+        assert str(row.ts_epoch) == exp["timestamp"]
+        assert (row.message or "") == exp["_text"]
+
+
+def test_slow_parse_ansi_on_matches_simulator(ansi_on):
+    spark = ansi_on
+    df = make_conv(spark, SLOW_EDGE)
+    got = parse_slow_log(df).orderBy("entry_id").collect()
+    expected = simulate_slow_log(SLOW_EDGE)
+    assert [r.query_text_raw for r in got] == [e["query_text"] for e in expected]
+    assert got[0].set_timestamp is None  # pos-0 SET is text, never harvested
+    assert got[1].ts_epoch is None  # unparseable '# Time:' -> NULL, no raise
+
+
+def test_slow_garbage_set_timestamp_nulls(ansi_on):
+    """Engine divergence (documented): garbage 'SET timestamp=' at position
+    1 is skipped with NULL ts; the reference crashes on int()."""
+    got = parse_slow_log(make_conv(ansi_on, SLOW_GARBAGE_SET)).collect()
+    assert len(got) == 1
+    assert got[0].set_timestamp is None
+    assert got[0].query_text == "SELECT 1;"
+
+
+def test_pipeline_ansi_on(ansi_on, transcripts):
+    from mariadb_to_graylog_spark.plans.pipeline import build_routed
+
+    routed = build_routed(transcripts)
+    n = routed.count()
+    assert n > 0
