@@ -27,6 +27,18 @@ Reference semantics reproduced exactly:
 Timestamps: the reference uses local-time ``mktime``
 (mariadb-log-consumer.py:659,676); this engine pins the session timezone to
 UTC (see session.py) so epochs are reproducible.
+
+Accepted divergences on degenerate inputs (implausible in real MariaDB
+error logs, documented rather than chased):
+
+* Unicode whitespace: Java regex ``\\s`` is ASCII-only, while the
+  reference's ``str.rstrip``/``str.isspace`` are Unicode-aware -- a line
+  containing NBSP / U+2028 etc. tokenizes differently here (the Unicode
+  space survives as part of a token instead of splitting it).
+* ``_F2_DATE_RE`` requires exactly 6 digits; CPython's
+  ``strptime('%y%m%d')`` also accepts degenerate 4-5 digit dates (e.g.
+  ``'20130 12:00:00'`` parses as year 20, month 1, day 30 in the
+  reference but is a continuation line here).
 """
 
 from __future__ import annotations

@@ -271,14 +271,23 @@ def assemble_slow_entries(
             F.count(sql_struct).alias("_kept_count"),
             *metric_aggs,
         )
-        .filter(F.col("_sql_line_count") >= 1)
     )
 
+    # Trailing drop BEFORE the >=1-SQL-line filter: the reference flushes
+    # entry e when the NEXT '# Time:' arrives (:925-931,947-949), so every
+    # non-last entry is flush-eligible even when the LAST entry has no SQL
+    # lines (e.g. a truncated log ending in a bare '# Time:' header).
+    # Computing max(entry_id) after the SQL filter wrongly dropped the last
+    # complete entry in that case.
     if not emit_trailing:
         w_conv = Window.partitionBy(conv_col)
         agg = agg.withColumn("_max_entry", F.max("entry_id").over(w_conv)).filter(
             F.col("entry_id") < F.col("_max_entry")
         ).drop("_max_entry")
+
+    # entries with no SQL-section lines are never emitted (query_line falsy
+    # at flush, :947-948)
+    agg = agg.filter(F.col("_sql_line_count") >= 1)
 
     # query_text_raw is byte-equal to the reference's accumulated string,
     # which starts with '\n' (the first append is ''+'\n'+line, :821-826);

@@ -122,6 +122,24 @@ def test_meta_only_entry_not_emitted(spark):
     assert [r.query_text_raw for r in got] == [e["query_text"] for e in expected]
 
 
+@pytest.mark.parametrize("emit_trailing", [False, True])
+def test_zero_sql_trailing_entry_does_not_eat_last_complete_entry(
+    spark, emit_trailing
+):
+    """A truncated log ending in a bare '# Time:' header: the trailing
+    zero-SQL entry must count toward max(entry_id), so the last COMPLETE
+    entry is still flushed (reference one-entry-lag flush at :947-949)."""
+    lines = [
+        "# Time: 231030 12:40:21",
+        "SELECT 1;",
+        "# Time: 231030 12:40:22",  # trailing, no SQL lines
+    ]
+    expected = simulate_slow_log(lines, emit_trailing=emit_trailing)
+    got = spark_slow_entries(spark, lines, emit_trailing=emit_trailing)
+    assert [e["query_text"] for e in expected] == ["\nSELECT 1;"]
+    assert [r.query_text_raw for r in got] == ["\nSELECT 1;"]
+
+
 def test_time_swallowed_inside_meta_run(spark):
     """A '# Time:' directly after META lines (no SQL between) is NOT a new
     entry in the reference FSM -- both metas merge into one entry."""
