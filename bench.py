@@ -118,6 +118,9 @@ QUERY_NAMES = [
     "slowlog_entries",
     "entry_islands",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "simhash_banded",
+    "embed_neardup_lsh",
     "dedup_exact",
     "knn_bruteforce",
     "lang_id",

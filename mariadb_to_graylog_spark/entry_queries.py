@@ -615,11 +615,25 @@ from mariadb_to_graylog_spark.operators import textstats as tx  # noqa: E402
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the driver tables arrive as ONE parquet row group -> one scan task no
+    # matter how small maxPartitionBytes is.  The doc-level operators are
+    # CPU-bound per row (md5 per shingle, per-bit simhash filters), so
+    # spread the rows across the executor cores first: shuffling ~1 MB of
+    # text costs microseconds, leaving the map work serial costs seconds.
+    # At real scale inputs arrive in thousands of splits and the scan
+    # parallelizes natively -- this is the small-file analogue of
+    # spark.sql.files.maxPartitionBytes tuning, not part of the plan shape.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same single-row-group consideration as _documents (SRP dots and
+    # cosine folds are CPU-bound per row)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,15 +724,20 @@ FROM p WHERE j >= 0.5
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 rows/band: similarity knee ~0.84, so the word-salad corpus's
+    # moderately-similar doc mass no longer floods the buckets (the 4-row
+    # variant produced 280+-doc degenerate buckets -> B^2 candidates)
     d = docs_with_near_dups(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=4)
+    pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=8)
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     )
 
 
-def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 4, shingle_n: int = 4) -> str:
+def _minhash_cand_ctes(bands: int, rows_per_band: int, shingle_n: int) -> str:
+    """Shared CTE chain d -> hashes -> sigs -> buckets -> cand (DISTINCT
+    candidate id pairs), mirroring minhash_lsh_pairs bucket membership."""
     params = dd._hash_params(bands * rows_per_band)
     sig_exprs = ",\n         ".join(
         f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {dd.MERSENNE31})) AS mh_{j}"
@@ -750,14 +769,68 @@ sigs AS (
 ),
 buckets AS (
 {band_selects}
-)
-SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
-FROM buckets a JOIN buckets b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+)"""
+
+
+def _minhash_oracle_sql(bands: int = 4, rows_per_band: int = 8, shingle_n: int = 4) -> str:
+    return (
+        _minhash_cand_ctes(bands, rows_per_band, shingle_n)
+        + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM cand
 """
+    )
 
 
 ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle_sql()
+
+
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default scale-safe near-dup path: LSH candidates -> exact 3-gram
+    Jaccard verified on candidates only (no block-quadratic join)."""
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.lsh_jaccard_verified(
+        d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _lsh_verified_oracle_sql(
+    bands: int = 4, rows_per_band: int = 8, shingle_n: int = 4,
+    n: int = 3, threshold: float = 0.5,
+) -> str:
+    return (
+        _minhash_cand_ctes(bands, rows_per_band, shingle_n)
+        + f""",
+g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {n - 1}, 1) + 1),
+           i -> substr(text, CAST(i AS INT), {n}))) AS grams
+  FROM d
+),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS j
+  FROM cand JOIN g ga ON ga.id = cand.id_a JOIN g gb ON gb.id = cand.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(j, 6) AS jaccard
+FROM p WHERE j >= {threshold}
+"""
+    )
+
+
+ORACLE_DEDUP_LSH_VERIFIED = _lsh_verified_oracle_sql()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +872,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle_sql(bits: int = 32, max_distance: int = 6) -> str:
+    """Ground-truth ALL-PAIRS SimHash distances within the lang block.
+    Serves double duty: oracle for the all-pairs verifier (32 bits, d<=6)
+    AND for the banded operator (60 bits, d<=3) -- equality of the banded
+    output against this proves the pigeonhole candidates are complete."""
+    hexlen = 8 if bits <= 32 else 15
     terms = "\n       + ".join(
         f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << i}) != 0)) > len(hashes) THEN {1 << i} ELSE 0 END"
         for i in range(bits)
@@ -808,7 +886,7 @@ WITH d AS ({_SQL_NEAR_DUPS}),
 h AS (
   SELECT doc_id AS id, lang AS blk,
          list_transform(regexp_extract_all(lower(text), '([a-z0-9]+)', 1),
-                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+                        t -> CAST('0x' || substr(md5(t), 1, {hexlen}) AS BIGINT)) AS hashes
   FROM d
 ),
 s AS (
@@ -822,6 +900,22 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_distance}
 
 
 ORACLE_SIMHASH_PAIRS = _simhash_pairs_oracle_sql()
+
+
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball pigeonhole SimHash pairs (60 bits, 4 bands x 15): the
+    scale-safe default.  The oracle is the ALL-PAIRS ground truth, so a
+    hash match certifies the banded candidates are complete."""
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.simhash_pairs_banded(d, block_col="lang", bits=60, max_distance=3)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+ORACLE_SIMHASH_BANDED = _simhash_pairs_oracle_sql(bits=60, max_distance=3)
 
 
 # --- similarity search ------------------------------------------------------
@@ -923,6 +1017,68 @@ p AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos_sim
 FROM p WHERE cos_sim >= 0.999
 """
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding near-dup: SRP-LSH candidates -> exact cosine
+    verified on candidates only (no block-quadratic join)."""
+    e = _embeddings(spark, sf_dir)
+    dups = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(dups)
+    return sim.embedding_neardup_lsh(
+        both, dim=64, bands=3, rows_per_band=8, threshold=0.999, round_digits=6
+    )
+
+
+def _embed_lsh_oracle_sql(
+    dim: int = 64, bands: int = 3, rows_per_band: int = 8, threshold: float = 0.999
+) -> str:
+    planes = sim.srp_planes(bands * rows_per_band, dim)
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN "
+        + _DOT.format(a="embedding", b="[" + ",".join(str(x) for x in p) + "]")
+        + f" >= 0 THEN 1 ELSE 0 END AS bit_{j}"
+        for j, p in enumerate(planes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"bit_{b * rows_per_band + r} * {1 << r}" for r in range(rows_per_band)
+        )
+        + " AS bv FROM s"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+),
+s AS (
+  SELECT vec_id,
+         {bit_exprs}
+  FROM e
+),
+b AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+),
+p AS (
+  SELECT cand.id_a, cand.id_b,
+         {_cos_sql("ea.embedding", "eb.embedding")} AS cos_sim
+  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cos_sim
+FROM p WHERE cos_sim >= {threshold}
+"""
+
+
+ORACLE_EMBED_NEARDUP_LSH = _embed_lsh_oracle_sql()
 
 
 # --- text analysis ----------------------------------------------------------
@@ -1060,8 +1216,11 @@ TRAINING_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_banded": q_simhash_banded,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "embed_neardup": q_embed_neardup,
@@ -1076,8 +1235,11 @@ TRAINING_ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "simhash_banded": ORACLE_SIMHASH_BANDED,
+    "embed_neardup_lsh": ORACLE_EMBED_NEARDUP_LSH,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "knn_ivf": ORACLE_KNN_IVF,
     "embed_neardup": ORACLE_EMBED_NEARDUP,

@@ -26,6 +26,12 @@ def h32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def h60(c: Column) -> Column:
+    """Portable 60-bit hash (15 hex digits of md5): wide enough for banded
+    SimHash, still fits a signed 64-bit long in both engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def char_ngrams(c: Column, n: int = 3, distinct: bool = True) -> Column:
     """Character n-grams via sequence+substr (no UDF).  Short strings
     yield their whole prefix window (greatest(len-n+1, 1))."""
@@ -67,9 +73,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard within a blocking key.
 
-    Blocking bounds the quadratic join; at scale pair this with
-    ``minhash_lsh_pairs`` for candidate generation and use this operator
-    only to *verify* candidates.
+    A SMALL-BLOCK VERIFIER only: the join is quadratic in the block size,
+    and the natural block keys (lang) do not bound the block at corpus
+    scale.  The default near-dup path is ``lsh_jaccard_verified`` --
+    identical Jaccard semantics, computed on LSH candidates only.
     """
     g = df.select(
         F.col(id_col).alias("id"),
@@ -121,7 +128,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -129,33 +136,125 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs: band the signature, bucket-join on
-    (band, band_signature).  Shuffle carries only (band, sig, id)."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, shingle_n, bands * rows_per_band
-    )
-    band_sigs = F.array(
+    """(id, band, sig) bucket assignments.  The band key is a STRUCT of the
+    band's minhash longs -- bucket membership is exact tuple equality, with
+    no string materialization (the earlier concat_ws key built and hashed a
+    ~40-char string per (doc, band); structs of longs join on raw 8-byte
+    comparisons and cannot collide, unlike hashing the tuple to one long)."""
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, bands * rows_per_band)
+    band_structs = F.array(
         *[
-            F.concat_ws(
-                "-",
+            F.struct(
                 *[
-                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    F.col(f"mh_{b * rows_per_band + r}").alias(f"s{r}")
                     for r in range(rows_per_band)
-                ],
+                ]
             )
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "id", F.posexplode(band_sigs).alias("band", "band_sig")
-    )
-    a = buckets.select(F.col("id").alias("id_a"), "band", "band_sig")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "band_sig")
+    return sigs.select("id", F.posexplode(band_structs).alias("band", "sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join on
+    (band, band_sig struct).  Shuffle carries only (band, sig, id).
+
+    ``rows_per_band`` sets the similarity knee (~(1/bands)^(1/rows)): 4
+    rows -> ~0.71, 8 rows -> ~0.84.  On self-similar corpora (template
+    text, tiny vocabularies) low-row bands produce degenerate buckets whose
+    B^2/2 candidate pairs dominate the whole job -- prefer more rows per
+    band, and/or ``max_bucket_size`` to drop degenerate buckets outright
+    (a bucket that big is not "near-duplicate pairs", it's a cluster; route
+    clusters through ``exact_dedup`` or a groups operator instead).  Use
+    ``lsh_bucket_stats`` to size/report the cap -- dropping is never
+    silent: the stats expose exactly how many buckets/pairs a cap removes.
+    """
+    buckets = lsh_buckets(df, id_col, text_col, shingle_n, bands, rows_per_band)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_bn"))
+        buckets = buckets.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size), ["band", "sig"]
+        ).drop("_bn")
+    a = buckets.select(F.col("id").alias("id_a"), "band", "sig")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "sig")
     return (
-        a.join(b, ["band", "band_sig"])
+        a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One-row bucket-size report: n_buckets, max_bucket, candidate pairs,
+    and (if a cap is given) buckets/pairs the cap would drop."""
+    buckets = lsh_buckets(df, id_col, text_col, shingle_n, bands, rows_per_band)
+    sizes = buckets.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    over = F.col("n") > (max_bucket_size if max_bucket_size is not None else 2**62)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(pairs).alias("candidate_pairs"),
+        F.sum(over.cast("long")).alias("buckets_dropped"),
+        F.coalesce(F.sum(F.when(over, pairs)), F.lit(0)).alias("pairs_dropped"),
+    )
+
+
+def lsh_jaccard_verified(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """THE default near-dup path at scale: LSH candidates -> exact n-gram
+    Jaccard computed on candidates ONLY.
+
+    Candidate generation shuffles (band, sig, id) tuples; verification
+    joins the candidate pair list back to per-doc gram sets twice (equi-
+    joins on id -- gram arrays move once per side, never quadratically).
+    Replaces all-pairs ``ngram_jaccard_pairs`` everywhere the block key
+    does not bound the block size (lang='en' IS the corpus at 100 TB);
+    keep all-pairs only as an explicitly small-block verifier.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, bands, rows_per_band, max_bucket_size
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("grams")
+    )
+    pairs = (
+        cand.join(grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -167,10 +266,12 @@ def simhash(
     token_pattern: str = r"([a-z0-9]+)",
 ) -> DataFrame:
     """SimHash over word tokens (term frequency preserved), map-side only:
-    bit i is set iff the majority of token hashes have bit i set."""
+    bit i is set iff the majority of token hashes have bit i set.
+    ``bits`` up to 60 (token hashes switch to h60 above 32 bits)."""
+    hasher = h32 if bits <= 32 else h60
     tokens = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 1)
     hashed = df.select(
-        F.col(id_col).alias("id"), F.transform(tokens, h32).alias("_hashes")
+        F.col(id_col).alias("id"), F.transform(tokens, hasher).alias("_hashes")
     ).withColumn("_n", F.size("_hashes"))
     def _bit_set(mask: int):
         # closure, NOT a default-arg lambda (see minhash note above)
@@ -184,6 +285,70 @@ def simhash(
     return hashed.select("id", sim.alias("simhash"))
 
 
+def simhash_pairs_banded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    bits: int = 60,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_distance``, via
+    the Hamming-ball pigeonhole: split the ``bits``-bit hash into
+    ``max_distance + 1`` equal bands -- two hashes within distance d differ
+    in at most d bands, so at least one band is bit-identical.  Bucket-join
+    on (band, band_value[, block]) for candidates (the same trick MinHash
+    LSH uses, but EXACT: unlike probabilistic LSH the output provably
+    equals the all-pairs result), then verify the full distance on
+    candidates only.
+
+    The shuffle carries (band, band_value, id, simhash) longs -- never
+    documents, never a block-quadratic join.  Replaces all-pairs
+    ``simhash_pairs`` as the default; keep that one as a small-block
+    verifier.  ``bits`` must be divisible by ``max_distance + 1`` (60 bits
+    / d=3 -> 4 bands x 15 bits).
+    """
+    bands = max_distance + 1
+    if bits % bands:
+        raise ValueError(f"bits={bits} must be divisible by bands={bands}")
+    width = bits // bands
+    base = simhash(df, id_col, text_col, bits)
+    if block_col:
+        blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+        base = base.join(blk, "id")
+    else:
+        base = base.withColumn("blk", F.lit(1))
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "id", "simhash", "blk", F.posexplode(band_vals).alias("band", "bv")
+    )
+    a = buckets.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "band", "bv"
+    )
+    b = buckets.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "band", "bv"
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # verify (two-long bit_count) BEFORE the distinct: candidates from
+    # crowded buckets die cheaply in the join stage instead of being
+    # shuffled into the dedup exchange
+    return (
+        a.join(b, ["blk", "band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", dist.cast("long"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,7 +357,11 @@ def simhash_pairs(
     bits: int = 32,
     max_distance: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance within a blocking key."""
+    """Near-dup pairs by SimHash hamming distance within a blocking key.
+
+    All-pairs within the block: a SMALL-BLOCK VERIFIER only.  The scale
+    path is ``simhash_pairs_banded`` (identical output, pigeonhole-bucketed
+    join instead of block-quadratic)."""
     base = simhash(df, id_col, text_col, bits)
     if block_col:
         blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))

