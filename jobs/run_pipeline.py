@@ -50,6 +50,28 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--no-udp", action="store_true")
     ap.add_argument("--no-tcp", action="store_true")
     ap.add_argument("--no-http", action="store_true")
+    # live Graylog endpoint (S1-S3; reference mariadb-log-consumer.py:234-280)
+    ap.add_argument("--graylog-host", help="live GELF endpoint; sends via foreachPartition")
+    ap.add_argument("--graylog-port-udp", type=int, default=None)
+    ap.add_argument("--graylog-port-tcp", type=int, default=None)
+    ap.add_argument("--graylog-port-http", type=int, default=None)
+    ap.add_argument("--graylog-tcp-timeout", type=float, default=2.0)
+    ap.add_argument("--graylog-http-timeout", type=float, default=10.0)
+    ap.add_argument("--graylog-http-max-retries", type=int, default=0)
+    ap.add_argument(
+        "--tcp-compat-double-send",
+        action="store_true",
+        help="reproduce the reference's TCP double-send byte stream",
+    )
+    # reference eventlog file compat (C1/C2; mariadb-log-consumer.py:289-304)
+    ap.add_argument("--eventlog-file", help="export coordinates in the reference's file format")
+    ap.add_argument("--truncate-eventlog", action="store_true")
+    ap.add_argument(
+        "--message-wait",
+        type=float,
+        default=None,
+        help="S5 rate limit: streaming trigger seconds; NO-OP in batch (warned)",
+    )
     ap.add_argument("--eof-wait", type=int, default=1000, help="stream trigger ms")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (stop=NEVER)")
     ap.add_argument(
@@ -60,7 +82,31 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     args = ap.parse_args(argv)
     if args.stop == "NEVER" and not args.checkpoint:
         ap.error("--stop=NEVER requires --checkpoint")  # exit code 2
+    if args.graylog_host and not (
+        args.graylog_port_udp or args.graylog_port_tcp or args.graylog_port_http
+    ):
+        ap.error("--graylog-host requires at least one --graylog-port-*")
+    if args.truncate_eventlog and not args.eventlog_file:
+        ap.error("--truncate-eventlog requires --eventlog-file")
+    if args.eventlog_file and ":" in args.eventlog_file:
+        # the reference's separator validation (mariadb-log-consumer.py:306-307)
+        ap.error("--eventlog-file path must not contain ':'")
     return args
+
+
+def _sink_config(args):
+    from mariadb_to_graylog_spark.sinks.clients import SinkConfig
+
+    return SinkConfig(
+        host=args.graylog_host,
+        udp_port=args.graylog_port_udp,
+        tcp_port=args.graylog_port_tcp,
+        http_port=args.graylog_port_http,
+        tcp_timeout=args.graylog_tcp_timeout,
+        http_timeout=args.graylog_http_timeout,
+        http_max_retries=args.graylog_http_max_retries,
+        compat_double_send=args.tcp_compat_double_send,
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -100,21 +146,60 @@ def main(argv: list[str] | None = None) -> int:
             start_pipeline_stream,
         )
 
+        eventlog = None
+        if args.eventlog_file:
+            from mariadb_to_graylog_spark.sources.eventlog_compat import (
+                EventlogCompat,
+            )
+
+            eventlog = EventlogCompat(
+                args.eventlog_file, truncate=args.truncate_eventlog
+            )
+
+        trigger_ms = (
+            int(args.message_wait * 1000) if args.message_wait else args.eof_wait
+        )
         stream = read_transcript_stream(spark, args.input)
         q = start_pipeline_stream(
-            stream, args.output, args.checkpoint, cfg, eof_wait_ms=args.eof_wait
+            stream,
+            args.output,
+            args.checkpoint,
+            cfg,
+            eof_wait_ms=trigger_ms,
+            sink_config=_sink_config(args) if args.graylog_host else None,
+            eventlog=eventlog,
         )
 
         # C4: SIGINT/SIGTERM -> graceful stop at a micro-batch boundary (the
         # reference defers signals around its send+log critical section;
-        # Structured Streaming's checkpoint gives that atomicity for free)
+        # Structured Streaming's checkpoint gives that atomicity for free).
+        # SIGHUP -> rotate the eventlog-compat file, like the reference's
+        # deferred ROTATE request (mariadb-log-consumer.py:479-480,544-545).
+        # EventlogCompat is lock-protected: the handler runs on the main
+        # thread while foreachBatch writes from the streaming thread.
         def _stop(signum, frame):  # noqa: ARG001
             q.stop()
 
+        def _rotate(signum, frame):  # noqa: ARG001
+            if eventlog is not None:
+                eventlog.rotate()
+
         signal.signal(signal.SIGTERM, _stop)
         signal.signal(signal.SIGINT, _stop)
+        signal.signal(signal.SIGHUP, _rotate)
         q.awaitTermination()
+        if eventlog is not None:
+            eventlog.close()
         return 0
+
+    if args.message_wait is not None:
+        # S5 divergence, loudly: batch has no per-message throttle analogue
+        # (the reference sleeps between sends, :209-216); streaming maps it
+        # to the micro-batch trigger.
+        print(
+            f"WARNING: --message-wait={args.message_wait} is a streaming "
+            "trigger only; batch mode sends at full speed", file=sys.stderr,
+        )
 
     transcripts = src.read_transcripts(spark, args.input)
     if args.resume and args.lineage:
@@ -126,7 +211,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import Observation
 
-    routed = build_routed(transcripts, cfg)
+    run_id = src.new_run_id()
+    # run_id rides every routed row so metrics/lineage read-back can scope
+    # to THIS run: args.output is mode=append, and an unscoped re-read after
+    # a resume run would re-count every previous run's rows
+    routed = build_routed(transcripts, cfg).withColumn("run_id", F.lit(run_id))
     if args.debug_gelf:
         routed.select("gelf_json").show(20, truncate=False)
 
@@ -149,16 +238,42 @@ def main(argv: list[str] | None = None) -> int:
         f"({counters['rows_dropped']} dropped) -> {args.output}"
     )
 
+    if args.graylog_host:
+        # live emit (the reference's entire purpose): every GELF string runs
+        # the udp -> tcp -> http failover chain, one client set per task
+        # (S1-S3, mariadb-log-consumer.py:565-591).  Second pass over the
+        # plan -- the table fan-out above is the durable sink; the live send
+        # is fire-and-forget exactly like the reference.
+        from mariadb_to_graylog_spark.sinks.clients import make_partition_sender
+
+        routed.select("gelf_json").foreachPartition(
+            make_partition_sender(_sink_config(args))
+        )
+        print(f"sent {counters['rows_total']} events -> {args.graylog_host}")
+
     # aggregates + lineage read the just-written sink tables: one extra scan
-    # of the (much smaller) routed output instead of recomputing the plan.
-    # A fully-consumed resume run routes nothing: no files to read back.
+    # of the (much smaller) routed output instead of recomputing the plan --
+    # scoped to THIS run's rows (args.output accumulates across runs).
     if n_routed > 0:
-        written = spark.read.parquet(args.output)
+        written = spark.read.parquet(args.output).filter(F.col("run_id") == run_id)
         if args.metrics:
             combined_counts(written).write.mode("append").parquet(args.metrics)
-        if args.lineage:
-            lineage = src.build_lineage(transcripts, written, run_id=src.new_run_id())
-            src.write_lineage(lineage, args.lineage)
+        if args.lineage or args.eventlog_file:
+            lineage = src.build_lineage(transcripts, written, run_id=run_id)
+            if args.lineage:
+                src.write_lineage(lineage, args.lineage)
+            if args.eventlog_file:
+                # reference file-format export (C1): tiny per-conversation
+                # aggregate, driver-side by design (migration tooling)
+                from mariadb_to_graylog_spark.sources.eventlog_compat import (
+                    write_from_lineage,
+                )
+
+                write_from_lineage(
+                    lineage.select("conv_id", "max_turn_idx").collect(),
+                    args.eventlog_file,
+                    truncate=args.truncate_eventlog,
+                )
     return 0
 
 

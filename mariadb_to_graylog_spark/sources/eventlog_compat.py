@@ -19,33 +19,43 @@ from the reference can keep their tooling:
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
 
 SEPARATOR = ":"  # eventlog.py:23
 
 
 class EventlogCompat:
+    """Thread-safe: ``rotate()`` may be called from a signal handler on the
+    driver main thread while a streaming foreachBatch thread is writing
+    coordinates -- the lock is this engine's version of the reference's
+    deferred-request critical section (mariadb-log-consumer.py:528-545)."""
+
     def __init__(self, path: str, truncate: bool = False):
         self._path = Path(path)
+        self._lock = threading.Lock()
         mode = "w" if truncate else "a"
         self._handle = open(self._path, mode, encoding="utf-8")
 
     def log_coordinates(self, coordinate: int, source: str) -> None:
         if SEPARATOR in source:
             raise ValueError(f"source must not contain {SEPARATOR!r}")  # :306-307
-        self._handle.write(f"{coordinate}{SEPARATOR}{source}\n")
-        self._handle.flush()
+        with self._lock:
+            self._handle.write(f"{coordinate}{SEPARATOR}{source}\n")
+            self._handle.flush()
 
     def rotate(self) -> None:
         """close -> rename to .tmp -> reopen fresh -> unlink tmp."""
         tmp = self._path.with_name(self._path.name + ".tmp")
-        self._handle.close()
-        os.rename(self._path, tmp)
-        self._handle = open(self._path, "w", encoding="utf-8")
-        os.unlink(tmp)  # the reference's os.rename.unlink crash (:137), fixed
+        with self._lock:
+            self._handle.close()
+            os.rename(self._path, tmp)
+            self._handle = open(self._path, "w", encoding="utf-8")
+            os.unlink(tmp)  # the reference's os.rename.unlink crash (:137), fixed
 
     def close(self) -> None:
-        self._handle.close()
+        with self._lock:
+            self._handle.close()
 
 
 def last_coordinate(path: str) -> tuple[int, str] | None:

@@ -14,10 +14,18 @@ a later batch) the engine would buffer per-conversation tails with
 ``applyInPandasWithState``; this module implements the simpler
 whole-conversation-per-batch contract and documents the boundary.
 
-Exactly-once: the sink write and the lineage write happen in the same
-``foreachBatch`` callback keyed by ``batch_id`` -- replayed batches
-overwrite their own partition directory instead of duplicating (the
-reference is at-least-once: send-then-log, mariadb-log-consumer.py:594).
+Delivery semantics, honestly:
+
+* table sink: EXACTLY-ONCE per micro-batch -- the write is
+  ``partitionBy(batch_id, sink)`` with dynamic partition overwrite, so a
+  batch replayed after a failure overwrites its own ``batch_id=N``
+  partitions instead of appending duplicates;
+* live GELF sends (optional ``sink_config``): AT-LEAST-ONCE -- a replayed
+  batch re-sends, exactly like the reference's send-then-log ordering
+  (mariadb-log-consumer.py:594);
+* eventlog-compat coordinate file (optional ``eventlog``): append-only
+  text, at-least-once on replay (the reference's format has no
+  transactionality to offer more).
 """
 
 from __future__ import annotations
@@ -28,6 +36,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
 from mariadb_to_graylog_spark.plans.pipeline import PipelineConfig, build_routed
+from mariadb_to_graylog_spark.sinks.clients import SinkConfig, make_partition_sender
+from mariadb_to_graylog_spark.sources.eventlog_compat import EventlogCompat
 
 
 def read_transcript_stream(
@@ -46,8 +56,11 @@ def start_pipeline_stream(
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
     eof_wait_ms: int = 1000,
+    sink_config: SinkConfig | None = None,
+    eventlog: EventlogCompat | None = None,
 ) -> StreamingQuery:
-    """readStream -> foreachBatch(batch pipeline) -> per-sink parquet."""
+    """readStream -> foreachBatch(batch pipeline) -> per-sink parquet
+    [+ live GELF sends] [+ eventlog-compat coordinates]."""
     cfg = cfg or PipelineConfig()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -55,10 +68,26 @@ def start_pipeline_stream(
         (
             routed.filter(F.col("sink") != "dropped")
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("sink")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "sink")
             .parquet(sink_base)
         )
+        if sink_config is not None:
+            routed.select("gelf_json").foreachPartition(
+                make_partition_sender(sink_config)
+            )
+        if eventlog is not None:
+            # reference coordinate logging (C1): one line per conversation
+            # consumed this batch; per-conv maxima are tiny (runs on the
+            # driver inside foreachBatch, like the reference's tail loop)
+            marks = (
+                batch_df.groupBy("conv_id")
+                .agg(F.max("turn_idx").alias("max_turn_idx"))
+                .collect()
+            )
+            for r in marks:
+                eventlog.log_coordinates(r.max_turn_idx, r.conv_id)
 
     return (
         transcripts.writeStream.foreachBatch(process_batch)

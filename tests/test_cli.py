@@ -31,3 +31,33 @@ def test_sink_toggles_and_limits():
     )
     assert a.no_udp and not a.no_tcp
     assert a.limit == 100 and a.offset == 5
+
+
+def test_graylog_args():
+    a = parse_args(
+        [
+            "--input", "/in", "--output", "/out",
+            "--graylog-host", "gl.example", "--graylog-port-udp", "12201",
+            "--graylog-http-max-retries", "2", "--tcp-compat-double-send",
+        ]
+    )
+    assert a.graylog_host == "gl.example" and a.graylog_port_udp == 12201
+    assert a.graylog_http_max_retries == 2 and a.tcp_compat_double_send
+
+
+def test_graylog_host_requires_a_port():
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--input", "/in", "--output", "/out", "--graylog-host", "h"])
+    assert e.value.code == 2
+
+
+def test_eventlog_validation():
+    # ':' in path: the reference's separator rule (:306-307)
+    with pytest.raises(SystemExit) as e:
+        parse_args(
+            ["--input", "/in", "--output", "/out", "--eventlog-file", "/tmp/a:b"]
+        )
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--input", "/in", "--output", "/out", "--truncate-eventlog"])
+    assert e.value.code == 2
