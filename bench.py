@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "embed_neardup_lsh",
     "dedup_exact",
     "knn_bruteforce",
+    "knn_ivf_trained",
     "lang_id",
     "tpch_pricing",
 ]
@@ -166,10 +167,32 @@ def main() -> int:
 
         for name in QUERY_NAMES:
             fn = eq.ALL_QUERIES[name]
-            fn(spark, args.sf_dir).limit(1).count()  # plan/codegen warmup
+            # full-plan warmup run (limit(1) compiles a DIFFERENT plan and
+            # leaves the real one cold: observed 3-4x first-run noise);
+            # the timed run is steady-state like the pipeline measurement
+            fn(spark, args.sf_dir).count()
             t0 = time.perf_counter()
             fn(spark, args.sf_dir).count()
             queries[name] = round(time.perf_counter() - t0, 3)
+
+    extras: dict[str, float] = {}
+    if not args.skip_queries:
+        # IVF is approximate by design: report recall@3 vs brute force on
+        # the same query set so the speed/recall tradeoff is visible
+        from pyspark.sql import functions as F
+
+        from mariadb_to_graylog_spark.operators.similarity import knn_bruteforce
+
+        e = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_bruteforce(e, F.col("vec_id") < 10, k=3).collect()
+        }
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in eq.ALL_QUERIES["knn_ivf_trained"](spark, args.sf_dir).collect()
+        }
+        extras["ivf_recall_at3"] = round(len(brute & ivf) / max(len(brute), 1), 4)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -183,6 +206,7 @@ def main() -> int:
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / pipe_sec, 1),
                 "n_routed": detail["n_routed"],
+                **extras,
             }
         )
     )

@@ -994,6 +994,78 @@ FROM r WHERE rk <= 3
 """
 
 
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    return sim.knn_ivf_trained(
+        e, F.col("vec_id") < 10, n_centroids=8, iters=2, dim=64, k=3
+    )
+
+
+def _kmeans_oracle_sql(
+    n_centroids: int = 8, iters: int = 2, dim: int = 64, k: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """Unrolled Lloyd iterations: one assignment + one rounded-mean CTE per
+    iteration, replicating train_kmeans bit-for-bit (same seed rule, same
+    cosine fold, same per-component rounding)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+        )
+
+    def assign(src_cents: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e, {src_cents} c)
+  WHERE rn = 1
+)"""
+
+    parts = [
+        f"""WITH c0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+)"""
+    ]
+    for i in range(iters):
+        avg_list = ", ".join(
+            f"round(avg(embedding[{j + 1}]), {round_digits})" for j in range(dim)
+        )
+        parts.append("," + assign(f"c{i}", f"a{i}"))
+        parts.append(
+            f""",
+c{i + 1} AS (
+  SELECT bucket AS cid, list_value({avg_list}) AS cv FROM a{i} GROUP BY bucket
+)"""
+        )
+    parts.append("," + assign(f"c{iters}", "fin"))
+    parts.append(
+        f""",
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
+  FROM fin q JOIN fin c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM p
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos_sim
+FROM r WHERE rk <= {k}
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KNN_IVF_TRAINED = _kmeans_oracle_sql()
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(spark, sf_dir)
     dups = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -1223,6 +1295,7 @@ TRAINING_QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_trained": q_knn_ivf_trained,
     "embed_neardup": q_embed_neardup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1242,6 +1315,7 @@ TRAINING_ORACLES = {
     "embed_neardup_lsh": ORACLE_EMBED_NEARDUP_LSH,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "knn_ivf": ORACLE_KNN_IVF,
+    "knn_ivf_trained": ORACLE_KNN_IVF_TRAINED,
     "embed_neardup": ORACLE_EMBED_NEARDUP,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,

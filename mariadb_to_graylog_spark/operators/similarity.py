@@ -73,6 +73,45 @@ def knn_bruteforce(
     )
 
 
+def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cid,cv>> literal from driver-side centroids (tiny by
+    definition: k entries)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.lit([float(x) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def assign_buckets_local(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """IVF assignment, fully map-side: nearest centroid by cosine (ties ->
+    lowest id) as an argmax over a broadcast centroid array literal --
+    ZERO shuffle, zero window.  (The previous shape scored N x C rows and
+    ran a row_number window over them: a full exchange just to argmax.)
+
+    Float-exact tie semantics: cos values are computed with the same
+    sequential fold the DuckDB oracle uses, the max is taken over that
+    array, and the lowest cid among exact-max entries wins -- identical to
+    ``ROW_NUMBER() OVER (ORDER BY cs DESC, cid)``.
+    """
+    cent = _centroid_literal(cents)
+    cos_arr = F.transform(cent, lambda c: cosine(F.col(vec_col), c["cv"]))
+    best = F.array_max(cos_arr)
+    bucket = F.array_min(
+        F.zip_with(cent, cos_arr, lambda c, s: F.when(s == best, c["cid"]))
+    )
+    return df.withColumn(bucket_col, bucket)
+
+
 def assign_buckets(
     df: DataFrame,
     centroids: DataFrame,
@@ -81,18 +120,53 @@ def assign_buckets(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "c_vec",
 ) -> DataFrame:
-    """IVF assignment: nearest centroid by cosine (ties -> lowest id).
-    Centroids are broadcast; assignment is one map-side pass + a per-vector
-    argmax window over |centroids| rows."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cos", cosine(F.col(vec_col), F.col(centroid_vec))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col(centroid_id))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(df["*"], F.col(centroid_id).alias("bucket"))
-    )
+    """IVF assignment from a centroids DataFrame: collects the (tiny)
+    centroid set driver-side and delegates to the map-side argmax."""
+    rows = centroids.select(centroid_id, centroid_vec).collect()
+    cents = sorted((int(r[0]), list(r[1])) for r in rows)
+    return assign_buckets_local(df, cents, vec_col)
+
+
+def train_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means as a fixed number of DataFrame jobs, fully
+    deterministic (seeded by the k lowest ids -- no RNG, so the run is
+    reproducible and SQL-replicable):
+
+    * assignment: the map-side argmax fold over broadcast literal
+      centroids (zero shuffle);
+    * update: ONE partial-aggregated shuffle per iteration --
+      ``groupBy(bucket).agg(avg(vec[i]) ...)`` carries k x dim partial
+      sums per map task, never vectors;
+    * each new centroid component is rounded to ``round_digits`` so the
+      result is independent of partition-level FP summation order (and
+      bit-equal to the DuckDB oracle's unrolled iterations).
+
+    Empty buckets drop out (both engines' GROUP BY agree).  Returns
+    driver-side centroids for ``assign_buckets_local``.
+    """
+    rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    for _ in range(iters):
+        assigned = assign_buckets_local(df, cents, vec_col)
+        agg = assigned.groupBy("bucket").agg(
+            *[
+                F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        cents = sorted(
+            (int(r["bucket"]), [float(r[f"c{i}"]) for i in range(dim)])
+            for r in agg.collect()
+        )
+    return cents
 
 
 def knn_ivf(
@@ -184,6 +258,51 @@ def srp_band_values(
     )
 
 
+def knn_ivf_trained(
+    df: DataFrame,
+    query_filter: Column,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bucketed ANN over TRAINED centroids: k-means (``train_kmeans``)
+    replaces the filter-selected seeds, assignment is the zero-shuffle
+    argmax fold, then the same bucket-join top-k as ``knn_ivf``.  Recall
+    vs brute force is reported by bench.py (approximate by design: a
+    query's true neighbor can live in another bucket)."""
+    cents = train_kmeans(df, n_centroids, iters, id_col, vec_col, dim, round_digits)
+    assigned = assign_buckets_local(df, cents, vec_col)
+    q = assigned.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec2"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_bucket") == F.col("q_bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec2")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -212,14 +331,11 @@ def embedding_neardup_lsh(
     buckets = df.select(
         F.col(id_col).alias("id"), F.posexplode(band_vals).alias("band", "bv")
     )
-    a = buckets.select(F.col("id").alias("id_a"), "band", "bv")
-    b = buckets.select(F.col("id").alias("id_b"), "band", "bv")
-    cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # SRP folds run once: AQE reuses the bucket shuffle stage across both
+    # self-join sides (see dedup._bucket_pairs for the measurement)
+    from mariadb_to_graylog_spark.operators.dedup import _bucket_pairs
+
+    cand = _bucket_pairs(buckets, ["band", "bv"], max_bucket_size=None)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")

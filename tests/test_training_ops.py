@@ -157,6 +157,48 @@ def test_embedding_lsh_exact_dup_recall(spark, embeds):
     assert planted <= pairs
 
 
+def test_kmeans_deterministic_and_mapside_assignment(spark, embeds):
+    """train_kmeans is RNG-free (two runs -> identical centroids) and the
+    assignment is a pure projection: no Exchange, no Window in the plan."""
+    from mariadb_to_graylog_spark.operators.similarity import (
+        assign_buckets_local,
+        train_kmeans,
+    )
+
+    c1 = train_kmeans(embeds, k=4, iters=2, dim=64)
+    c2 = train_kmeans(embeds, k=4, iters=2, dim=64)
+    assert c1 == c2
+    assert 1 <= len(c1) <= 4 and all(len(cv) == 64 for _, cv in c1)
+
+    assigned = assign_buckets_local(embeds, c1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    buckets = {r.bucket for r in assigned.select("bucket").distinct().collect()}
+    assert buckets <= {cid for cid, _ in c1}
+
+
+def test_ivf_trained_recall(spark, embeds):
+    """Trained IVF top-k against brute force: recall well above random
+    bucketing (approximate by design, not broken)."""
+    from mariadb_to_graylog_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_trained,
+    )
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(embeds, F.col("vec_id") < 10, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf_trained(
+            embeds, F.col("vec_id") < 10, n_centroids=4, iters=2, dim=64, k=3
+        ).collect()
+    }
+    recall = len(brute & ivf) / max(len(brute), 1)
+    assert recall >= 0.5, f"IVF recall@3 {recall}"
+
+
 def test_lsh_bucket_stats_and_cap(spark, docs):
     """The bucket cap is never silent: stats expose dropped buckets/pairs,
     and the capped pair set equals the uncapped set minus pairs that only
