@@ -401,6 +401,19 @@ def q_slowlog_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_sql(expr: str) -> str:
+    """The DuckDB twin of fingerprint_col, generated from the SAME rule
+    table so engine and oracle can never drift."""
+    from mariadb_to_graylog_spark.operators.fingerprint import FINGERPRINT_RULES
+
+    s = f"lower({expr})"
+    for pat, rep in FINGERPRINT_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{r}', 'g')"
+    return f"trim({s})"
+
+
 # DuckDB twin computes expected outputs directly from the synthesis params,
 # including the position-sensitive SET-timestamp quirk and the trailing drop.
 ORACLE_SLOWLOG_ENTRIES = """
@@ -432,18 +445,7 @@ e AS (
   FROM o WHERE entry_id < n_entries
 ),
 fp AS (
-  SELECT *,
-    trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(lower(query_text), '''[^'']*''', '?', 'g'),
-            '"[^"]*"', '?', 'g'),
-          '\\b\\d+\\.\\d+\\b', '?', 'g'),
-        '\\b\\d+\\b', '?', 'g'),
-      '\\(\\s*\\?(\\s*,\\s*\\?)+\\s*\\)', '(?+)', 'g'),
-    '\\s+', ' ', 'g')) AS fp0
+  SELECT *, {FP0} AS fp0
   FROM e
 )
 SELECT conv_id, entry_id, set_timestamp, ts_epoch, thread_id, db_schema,
@@ -451,7 +453,7 @@ SELECT conv_id, entry_id, set_timestamp, ts_epoch, thread_id, db_schema,
        upper(regexp_extract(fp0, '^([^ ]*)', 1))
          || substr(fp0, length(regexp_extract(fp0, '^([^ ]*)', 1)) + 1) AS query_fingerprint
 FROM fp
-"""
+""".replace("{FP0}", _fingerprint_sql("query_text"))
 
 
 # ---------------------------------------------------------------------------

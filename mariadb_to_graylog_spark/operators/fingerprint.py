@@ -24,13 +24,28 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# (pattern, replacement) applied in order, after lowercasing.
+# (pattern, replacement) applied in order, after lowercasing.  The order
+# mirrors pt-fingerprint's documented passes: comments out first, then
+# quoted strings, then numeric/hex/NULL literals, then the structural
+# collapses (IN-lists, LIMIT), then whitespace.
+#
+# Line-comment note: pt-fingerprint strips ``(?:--|#)[^'"\r\n]*`` only when
+# the match reaches end-of-line (a lookahead).  RE2 (the DuckDB oracle) has
+# no lookahead, so these rules strip up to the first quote/EOL without the
+# to-EOL guarantee -- divergent only for a comment-opener followed by a
+# quote on the same line, which pt mangles differently anyway.
 FINGERPRINT_RULES: list[tuple[str, str]] = [
+    (r"/\*[\s\S]*?\*/", ""),  # /* multiline comments */ (pt: s{/\*.*?\*/}{}gsm)
+    (r"--[^'\"\r\n]*", ""),  # -- line comments
+    (r"#[^'\"\r\n]*", ""),  # # line comments
     (r"'[^']*'", "?"),  # single-quoted string literals
     (r'"[^"]*"', "?"),  # double-quoted string literals
+    (r"\b0x[0-9a-f]+\b", "?"),  # hex literals
+    (r"\bnull\b", "?"),  # NULL -> ? (pt: s/\bnull\b/?/g)
     (r"\b\d+\.\d+\b", "?"),  # decimal literals
     (r"\b\d+\b", "?"),  # integer literals
     (r"\(\s*\?(?:\s*,\s*\?)+\s*\)", "(?+)"),  # IN-list collapse
+    (r"limit\s+\?(?:\s*,\s*\?|\s+offset\s+\?)?", "limit ?"),  # LIMIT n[,m] collapse
     (r"\s+", " "),  # whitespace collapse (incl. newlines)
 ]
 

@@ -61,3 +61,34 @@ def test_fingerprint_parametrizes_literals(n, in_list):
     q = f"SELECT * FROM t WHERE a = {n} AND b IN ({', '.join(map(str, in_list))})"
     fp = fingerprint_py(q)
     assert fp == "SELECT * from t where a = ? and b in (?+)"
+
+
+def test_fingerprint_duckdb_twin_parity():
+    """The generated DuckDB regexp_replace chain (_fingerprint_sql) must
+    equal fingerprint_py on representative inputs for every rule -- the
+    rule table is shared, this guards the RE2-vs-Python regex semantics."""
+    import duckdb
+
+    from mariadb_to_graylog_spark.entry_queries import _fingerprint_sql
+    from mariadb_to_graylog_spark.operators.fingerprint import (
+        capitalize_first_word_py,
+    )
+
+    samples = [
+        "SELECT * FROM orders WHERE customer_id = 123 AND status IN ('a','b','c')",
+        "SELECT /* pick one */ a FROM t -- trailing note",
+        "SELECT a FROM t # mysql comment\nWHERE x = 1",
+        "SELECT * FROM t WHERE k = 0xDEADbeef AND v IS NULL",
+        "SELECT a FROM t LIMIT 10, 20",
+        "SELECT a FROM t LIMIT 10 OFFSET 5",
+        "UPDATE t SET v = 1.5 WHERE id IN (1, 2, 3)",
+        "SELECT a /* x\n y */ FROM t WHERE s = 'it''s'",
+        "  select\n  col   FROM t  WHERE x = 7  ",
+    ]
+    con = duckdb.connect()
+    expr = _fingerprint_sql("q")
+    for q in samples:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS q)", [q]
+        ).fetchone()[0]
+        assert capitalize_first_word_py(got) == fingerprint_py(q), q

@@ -202,6 +202,38 @@ def test_fingerprint_goldens():
     )
 
 
+def test_fingerprint_goldens_pt_breadth():
+    """pt-fingerprint's documented passes beyond the round-1 core six:
+    comment stripping, hex/NULL literals, LIMIT collapse."""
+    assert (
+        fingerprint_py("SELECT /* pick one */ a FROM t -- trailing note")
+        == "SELECT a from t"
+    )
+    assert (
+        fingerprint_py("SELECT a FROM t # mysql comment\nWHERE x = 1")
+        == "SELECT a from t where x = ?"
+    )
+    assert (
+        fingerprint_py("SELECT * FROM t WHERE k = 0xDEADbeef")
+        == "SELECT * from t where k = ?"
+    )
+    assert (
+        fingerprint_py("SELECT * FROM t WHERE v IS NULL OR v = NULL")
+        == "SELECT * from t where v is ? or v = ?"
+    )
+    assert fingerprint_py("SELECT a FROM t LIMIT 10") == "SELECT a from t limit ?"
+    assert fingerprint_py("SELECT a FROM t LIMIT 10, 20") == "SELECT a from t limit ?"
+    assert (
+        fingerprint_py("SELECT a FROM t LIMIT 10 OFFSET 5")
+        == "SELECT a from t limit ?"
+    )
+    # multiline comment spanning lines; quoted '--' NOT treated as comment
+    assert (
+        fingerprint_py("SELECT a /* x\n y */ FROM t WHERE s = '--not a comment'")
+        == "SELECT a from t where s = ?"
+    )
+
+
 def test_datagen_slow_convs_match_simulator(spark):
     from mariadb_to_graylog_spark.datagen import conv_lines_py, generate_transcripts
 
