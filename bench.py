@@ -49,7 +49,12 @@ def _sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def bench_spark(cpus: int | None = None, app: str = "bench", shuffle_partitions: int | None = None):
+def bench_spark(
+    cpus: int | None = None,
+    app: str = "bench",
+    shuffle_partitions: int | None = None,
+    event_log_dir: str | None = None,
+):
     from mariadb_to_graylog_spark.session import get_spark
 
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -57,14 +62,20 @@ def bench_spark(cpus: int | None = None, app: str = "bench", shuffle_partitions:
     # per-partition work (sort sizes, spill behavior) is held constant and
     # only the executor-thread count varies
     parts = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")) or max(3 * n, 3)
+    conf = {
+        "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
+    }
+    if event_log_dir:
+        # per-stage task metrics for the scaling evidence (parsed by
+        # tools/stage_metrics.py after the run)
+        Path(event_log_dir).mkdir(parents=True, exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = f"file://{event_log_dir}"
+        conf["spark.eventLog.rolling.enabled"] = "false"  # one plain JSON file
+        conf["spark.eventLog.compress"] = "false"
     return get_spark(
-        app_name=app,
-        cpus=n,
-        shuffle_partitions=parts,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(8 * 1024 * 1024),
-        },
+        app_name=app, cpus=n, shuffle_partitions=parts, extra_conf=conf
     )
 
 
@@ -99,10 +110,12 @@ def run_pipeline_job(spark, transcripts_path: str) -> tuple[float, int, dict]:
     transcripts = spark.read.parquet(transcripts_path)
     n_turns = transcripts.count()  # excluded from the timed section
 
+    t_epoch0 = time.time() * 1000  # stage-submission window for stage_metrics
     t0 = time.perf_counter()
     routed = build_routed(transcripts)
     rows = combined_counts(routed).collect()
     sec = time.perf_counter() - t0
+    run_pipeline_job.last_window = (t_epoch0, time.time() * 1000)
 
     sinks: dict[str, int] = {}
     hist: dict[str, int] = {}
@@ -137,9 +150,18 @@ def main() -> int:
     ap.add_argument("--job", choices=["full", "pipeline"], default="full")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument(
+        "--event-log-dir",
+        default=None,
+        help="enable Spark event logging here; pipeline JSON gains app_id + timed_window",
+    )
     args = ap.parse_args()
 
-    spark = bench_spark(args.cpus, shuffle_partitions=args.shuffle_partitions)
+    spark = bench_spark(
+        args.cpus,
+        shuffle_partitions=args.shuffle_partitions,
+        event_log_dir=args.event_log_dir,
+    )
     sf = _sf_of(args.sf_dir)
 
     tpath = ensure_transcripts(spark, sf, args.n_convs)
@@ -149,6 +171,13 @@ def main() -> int:
     pipe_sec, n_turns, detail = run_pipeline_job(spark, tpath)
 
     if args.job == "pipeline":
+        extra = {}
+        if args.event_log_dir:
+            extra = {
+                "app_id": spark.sparkContext.applicationId,
+                "timed_window": list(run_pipeline_job.last_window),
+            }
+            spark.stop()  # flush + finalize the event log file
         print(
             json.dumps(
                 {
@@ -156,6 +185,7 @@ def main() -> int:
                     "turns": n_turns,
                     "turns_per_sec": round(n_turns / pipe_sec, 1),
                     **detail,
+                    **extra,
                 }
             )
         )

@@ -1,0 +1,225 @@
+"""Cross-batch streaming entry assembly (SURVEY.md P5 under SRC1-stream).
+
+``foreachBatch`` assembly (stream_pipeline.py) is correct only when every
+conversation's lines land in one micro-batch; a conversation whose
+continuation lines arrive in a LATER batch needs per-conversation state --
+exactly the reference's tail loop, which keeps one in-flight message across
+reads (mariadb-log-consumer.py:774-780,692-733).  This module implements it
+with ``applyInPandasWithState``:
+
+* group by ``conv_id``; state = the open (not-yet-terminated) entry;
+* an entry is emitted when the NEXT entry-start line arrives (possibly
+  batches later) -- the same one-entry-lag the reference uses;
+* the trailing open entry is flushed by a processing-time timeout after
+  ``flush_after_ms`` of key silence (the reference flushes at EOF,
+  :771-772; an unbounded stream has no EOF, a quiet period is its moral
+  equivalent).
+
+``_parse_error_line`` is the pure-Python twin of
+``operators/errorlog.parse_error_log_lines`` (same tokenization, zfill
+quirks, %y pivot, ASCII whitespace classes) -- tested equal against the
+Spark parse in tests/test_streaming_stateful.py, and the assembled output
+is tested byte-identical to batch ``assemble_error_entries`` with one
+conversation split across three micro-batches.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+SHORT_MESSAGE_LENGTH = 20
+
+# ASCII classes mirror the Spark/Java \s semantics (errorlog.py divergence
+# notes: NBSP etc. intentionally NOT whitespace here either)
+_RSTRIP = re.compile(r"\s+$", re.ASCII)
+_LSTRIP = re.compile(r"^\s+", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+_F1_DATE = re.compile(r"^\d{4}-\d{1,2}-\d{1,2}$", re.ASCII)
+_F2_DATE = re.compile(r"^(\d{2})(\d{2})(\d{2})$", re.ASCII)
+_TIME_PART = re.compile(r"^\d{0,2}$", re.ASCII)
+
+
+def _zfill2(s: str) -> str:
+    return s if len(s) >= 2 else s.zfill(2)
+
+
+def _epoch_utc(y: int, mo: int, d: int, h: int, mi: int, s: int) -> int | None:
+    try:
+        import datetime as _dt
+
+        return calendar.timegm(_dt.datetime(y, mo, d, h, mi, s).timetuple())
+    except ValueError:
+        return None
+
+
+def _parse_error_line(text: str) -> dict[str, Any]:
+    """Python twin of parse_error_log_lines for ONE line."""
+    line = _RSTRIP.sub("", text or "")
+    lstripped = _LSTRIP.sub("", line)
+    tok5 = _WS.split(lstripped, maxsplit=4) if lstripped else [""]
+    w = [tok5[i] if i < len(tok5) else "" for i in range(4)]
+
+    tparts = w[1].split(":")
+    time_ok = len(tparts) >= 3 and all(_TIME_PART.match(p) for p in tparts[:3])
+    hh = mm = ss = None
+    if time_ok:
+        hh, mm, ss = (int(_zfill2(p)) for p in tparts[:3])
+        if not (0 <= hh <= 23 and 0 <= mm <= 59 and 0 <= ss <= 59):
+            time_ok = False
+
+    ts_f1 = ts_f2 = None
+    if time_ok and _F1_DATE.match(w[0]):
+        y, mo, d = (int(x) for x in w[0].split("-"))
+        ts_f1 = _epoch_utc(y, mo, d, hh, mm, ss)
+    m2 = _F2_DATE.match(w[0]) if time_ok else None
+    if m2:
+        yy = int(m2.group(1))
+        year = yy + 2000 if yy <= 68 else yy + 1900
+        ts_f2 = _epoch_utc(year, int(m2.group(2)), int(m2.group(3)), hh, mm, ss)
+
+    is_f1 = ts_f1 is not None
+    ts_epoch = ts_f1 if is_f1 else ts_f2
+    well_formed = ts_epoch is not None
+    if well_formed:
+        if is_f1:
+            message = tok5[4] if len(tok5) > 4 else ""
+            thread_raw, level_raw = w[2], w[3]
+        else:
+            tok4 = _WS.split(lstripped, maxsplit=3)
+            message = tok4[3] if len(tok4) > 3 else ""
+            thread_raw, level_raw = None, w[2]
+        severity = level_raw.translate(str.maketrans("", "", "[]")).upper()
+        short_message = f"{level_raw} {message[:SHORT_MESSAGE_LENGTH]}"
+    else:
+        message = _LSTRIP.sub("", _RSTRIP.sub("", line))
+        thread_raw = level_raw = severity = short_message = None
+    return {
+        "is_entry_start": well_formed,
+        "ts_epoch": ts_epoch,
+        "thread_raw": thread_raw,
+        "level_raw": level_raw,
+        "severity": severity,
+        "short_message": short_message,
+        "message": message,
+    }
+
+
+OUTPUT_SCHEMA = (
+    "conv_id string, entry_id long, start_turn_idx int, ts timestamp, "
+    "role string, tool string, ts_epoch long, thread_raw string, "
+    "level_raw string, severity string, short_message string, message string"
+)
+
+# open-entry state: head fields + accumulated message lines + emit counter
+STATE_SCHEMA = (
+    "n_emitted long, start_turn_idx int, ts_us long, role string, "
+    "tool string, ts_epoch long, thread_raw string, level_raw string, "
+    "severity string, short_message string, lines array<string>"
+)
+
+_OUT_COLS = [
+    "conv_id", "entry_id", "start_turn_idx", "ts", "role", "tool",
+    "ts_epoch", "thread_raw", "level_raw", "severity", "short_message",
+    "message",
+]
+
+
+def _entry_row(conv_id: str, entry_id: int, st: tuple, mode: str) -> dict:
+    message = st[10][0] if mode == "strict" else "\n".join(st[10])
+    return {
+        "conv_id": conv_id,
+        "entry_id": entry_id,
+        "start_turn_idx": st[1],
+        # naive round-trip: Arrow delivers session-tz-naive timestamps and
+        # interprets naive ones back the same way
+        "ts": pd.Timestamp(st[2], unit="us") if st[2] is not None else None,
+        "role": st[3],
+        "tool": st[4],
+        "ts_epoch": st[5],
+        "thread_raw": st[6],
+        "level_raw": st[7],
+        "severity": st[8],
+        "short_message": st[9],
+        "message": message,
+    }
+
+
+def make_assembler(mode: str = "intended", flush_after_ms: int = 1000):
+    """applyInPandasWithState callback; ``mode`` as in
+    assemble_error_entries (strict = head line only, intended = multiline
+    append)."""
+    if mode not in ("strict", "intended"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def assemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        out: list[dict] = []
+        if state.hasTimedOut:
+            st = state.get
+            if st[10]:  # open entry exists -> EOF-equivalent flush
+                out.append(_entry_row(conv_id, st[0] + 1, st, mode))
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLS)
+            return
+
+        st = state.get if state.exists else None
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append(r)
+        rows.sort(key=lambda r: r.turn_idx)
+
+        for r in rows:
+            p = _parse_error_line(r.text)
+            if p["is_entry_start"]:
+                if st is not None and st[10]:
+                    out.append(_entry_row(conv_id, st[0] + 1, st, mode))
+                n_emitted = (st[0] + 1) if st is not None else 0
+                ts_us = (
+                    int(r.ts.value // 1000) if isinstance(r.ts, pd.Timestamp) else None
+                )
+                st = (
+                    n_emitted, int(r.turn_idx), ts_us, r.role, r.tool,
+                    p["ts_epoch"], p["thread_raw"], p["level_raw"],
+                    p["severity"], p["short_message"], [p["message"]],
+                )
+            elif st is not None and st[10]:
+                if mode == "intended":
+                    st = st[:10] + (st[10] + [p["message"]],)
+                # strict: continuation text dropped (reference :733)
+
+        if st is not None:
+            state.update(st)
+            state.setTimeoutDuration(flush_after_ms)
+        if out:
+            yield pd.DataFrame(out, columns=_OUT_COLS)
+
+    return assemble
+
+
+def assemble_entries_stateful(
+    transcripts,  # streaming DataFrame with transcript schema
+    mode: str = "intended",
+    flush_after_ms: int = 1000,
+):
+    """Streaming entry assembly with cross-batch state.  Emits each entry
+    when its successor's first line arrives; flushes the trailing open
+    entry after ``flush_after_ms`` of silence on the conversation."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_assembler(mode, flush_after_ms)
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -10,9 +10,9 @@ Entry assembly is a *cross-row, order-sensitive* computation, so the
 streaming flavor runs the batch plan inside ``foreachBatch``: each
 micro-batch is a closed set of whole conversations-so-far deltas.  For
 true cross-batch entries (a conversation's continuation lines arriving in
-a later batch) the engine would buffer per-conversation tails with
-``applyInPandasWithState``; this module implements the simpler
-whole-conversation-per-batch contract and documents the boundary.
+a later batch) use ``streaming/stateful.assemble_entries_stateful`` --
+per-conversation ``applyInPandasWithState`` buffering, tested
+byte-identical to batch assembly across a 3-batch split.
 
 Delivery semantics, honestly:
 
