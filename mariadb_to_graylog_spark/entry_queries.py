@@ -505,6 +505,31 @@ GROUP BY e.user_id
 """
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stream_pipeline.windowed_severity_counts:
+    the same tumbling-window groupBy expression, checkable against a
+    date_trunc oracle (epoch-aligned 1h windows == date_trunc('hour'))."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+            # the cast reads the naive value as UTC like DuckDB's epoch()
+            F.unix_seconds(F.col("w.start").cast("timestamp")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.agg(
@@ -585,6 +610,7 @@ LOG_QUERIES = {
     "slowlog_entries": q_slowlog_entries,
     "offset_limit": q_offset_limit,
     "resume_hwm": q_resume_hwm,
+    "windowed_counts": q_windowed_counts,
     "counters": q_counters,
     "tpch_pricing": q_tpch_pricing,
     "join_enrich": q_join_enrich,
@@ -600,6 +626,7 @@ LOG_ORACLES = {
     "slowlog_entries": ORACLE_SLOWLOG_ENTRIES,
     "offset_limit": ORACLE_OFFSET_LIMIT,
     "resume_hwm": ORACLE_RESUME_HWM,
+    "windowed_counts": ORACLE_WINDOWED_COUNTS,
     "counters": ORACLE_COUNTERS,
     "tpch_pricing": ORACLE_TPCH_PRICING,
     "join_enrich": ORACLE_JOIN_ENRICH,
@@ -833,6 +860,35 @@ FROM p WHERE j >= {threshold}
 
 
 ORACLE_DEDUP_LSH_VERIFIED = _lsh_verified_oracle_sql()
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs -> connected components -> every
+    doc labeled with its group (keep-one = doc_id == group_id)."""
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=8)
+    groups = dd.near_dedup_groups(d, pairs)
+    return groups.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
+# ground truth: recursive-CTE reachability -> MIN reachable id per node.
+# UNION (not UNION ALL) dedups states, so the recursion terminates.
+ORACLE_DEDUP_GROUPS = (
+    _minhash_cand_ctes(4, 8, 4)
+    + """,
+reach(id, grp) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT CASE WHEN r.id = c.id_a THEN c.id_b ELSE c.id_a END, r.grp
+  FROM reach r JOIN cand c ON r.id = c.id_a OR r.id = c.id_b
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(grp) AS BIGINT) AS group_id
+FROM reach GROUP BY id
+"""
+).replace("WITH d AS", "WITH RECURSIVE d AS")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1347,7 @@ TRAINING_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
     "simhash_banded": q_simhash_banded,
@@ -1311,6 +1368,7 @@ TRAINING_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
+    "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "simhash_banded": ORACLE_SIMHASH_BANDED,

@@ -272,6 +272,89 @@ def lsh_jaccard_verified(
     )
 
 
+def connected_components(
+    edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(id, component) for every node in the edge list, component = MIN id
+    reachable -- the standard large-graph min-label propagation (GraphX/
+    Pregel CC), as DataFrame iterations:
+
+    * each round: one shuffle join (labels into the symmetric edge list) +
+      one groupBy-min, then ``least(own, neighbor-min)``;
+    * converges in O(component diameter) rounds -- near-dup clusters are
+      shallow (a dup cluster's LSH pairs form a dense blob, diameter ~2);
+    * ``localCheckpoint`` truncates the lineage each round so the plan
+      stays O(1); on a real cluster use a checkpoint dir;
+    * the result (min id per component) is ITERATION-ORDER INDEPENDENT, so
+      it is oracle-checkable against a recursive-CTE ground truth.
+
+    Raises if not converged within ``max_iters`` -- silent partial labels
+    would be wrong-but-plausible, the worst failure mode for dedup.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                sym.join(
+                    labels.select(F.col("id").alias("src"), "label"), "src"
+                )
+                .groupBy("dst")
+                .agg(F.min("label").alias("_nbr"))
+            )
+            new = (
+                labels.join(nbr.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("_nbr", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.withColumnRenamed("label", "component")
+    finally:
+        sym.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+def near_dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label EVERY document with its near-dup group (singletons are their
+    own group): the end-to-end dedup shape at scale is
+    candidates (LSH) -> verify -> connected components -> keep one per
+    group (``filter(doc_id == group_id)``)."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -157,6 +157,31 @@ def test_embedding_lsh_exact_dup_recall(spark, embeds):
     assert planted <= pairs
 
 
+def test_connected_components_and_keep_one(spark, docs):
+    """Chain + clique + singleton: min-label CC labels every node with its
+    component minimum; keep-one keeps exactly one doc per group."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        connected_components,
+        near_dedup_groups,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (7, 8)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 7, 8, 10, 11, 99]], "doc_id long"
+    )
+    groups = near_dedup_groups(ids, edges)
+    got = {r.doc_id: r.group_id for r in groups.collect()}
+    assert got[99] == 99  # singleton = its own group
+    kept = sorted(d for d, g in got.items() if d == g)
+    assert kept == [1, 7, 10, 99]
+
+
 def test_kmeans_deterministic_and_mapside_assignment(spark, embeds):
     """train_kmeans is RNG-free (two runs -> identical centroids) and the
     assignment is a pure projection: no Exchange, no Window in the plan."""
