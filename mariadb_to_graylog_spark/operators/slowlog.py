@@ -156,6 +156,164 @@ def classify_slow_log_lines(
     )
 
 
+def _scan_layer(
+    df: DataFrame,
+    specs: list[tuple[str, Column, str, bool]],
+    conv_col: str,
+    order_col: str,
+    block_col: str = "_blk",
+) -> DataFrame:
+    """One layer of distributed prefix scans over (conv, order): each spec
+    (name, value, kind 'sum'|'max', exclusive) becomes a running aggregate
+    computed as block-local window + per-block carry.
+
+    The carries relation has rows/block_size rows and is BROADCAST back,
+    so the big relation is shuffled/sorted on (conv, block) once for the
+    whole layer chain and never again.  Multiple specs share one groupBy.
+    """
+    w_incl = (
+        Window.partitionBy(conv_col, block_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_excl = (
+        Window.partitionBy(conv_col, block_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_carry = (
+        Window.partitionBy(conv_col)
+        .orderBy(block_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    aggs, carry_cols = [], []
+    for name, value, kind, exclusive in specs:
+        df = df.withColumn(f"_v_{name}", value)
+        fn = F.sum if kind == "sum" else F.max
+        df = df.withColumn(
+            f"_loc_{name}", fn(f"_v_{name}").over(w_excl if exclusive else w_incl)
+        )
+        aggs.append(fn(f"_v_{name}").alias(f"_tot_{name}"))
+        carry_cols.append(fn(f"_tot_{name}").over(w_carry).alias(f"_carry_{name}"))
+    totals = df.groupBy(conv_col, block_col).agg(*aggs)
+    carries = totals.select(conv_col, block_col, *carry_cols)
+    df = df.join(F.broadcast(carries), [conv_col, block_col], "left")
+    for name, _, kind, _ in specs:
+        if kind == "sum":
+            combined = F.coalesce(f"_loc_{name}", F.lit(0)) + F.coalesce(
+                f"_carry_{name}", F.lit(0)
+            )
+        else:
+            # greatest() skips NULLs: null local (no value yet in block)
+            # falls back to the carry, and vice versa
+            combined = F.greatest(f"_loc_{name}", f"_carry_{name}")
+        df = df.withColumn(name, combined).drop(
+            f"_v_{name}", f"_loc_{name}", f"_carry_{name}"
+        )
+    return df
+
+
+def classify_slow_log_lines_scalable(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    block_size: int = 1 << 16,
+) -> DataFrame:
+    """Block-scan twin of classify_slow_log_lines: same output columns,
+    but every running quantity is a distributed prefix scan over fixed
+    ``order_col`` blocks instead of one whole-conversation window -- a
+    single 10^8-turn conversation becomes 10^8/block_size parallel tasks
+    per layer instead of one serial task (the slow-path analogue of
+    assembly.add_entry_ids_scalable; tested equal to the window classifier
+    with block_size forced tiny to stress the boundaries).
+
+    Four scan layers mirror the classifier's dependency chain:
+    run-starts (needs the previous block's last-row hash flag, a tiny
+    edge join) -> run/time turns -> entry ids + last entry start ->
+    sql position base.
+    """
+    line = F.regexp_replace(F.col(text_col), r"\s+$", "")
+    out = df.withColumn("line", line).filter(F.col("line") != "")
+
+    is_hash = F.substring("line", 1, 2) == "# "
+    is_time = F.substring("line", 2, 6) == " Time:"
+    out = out.withColumn("_is_hash", is_hash).withColumn("_is_time", is_hash & is_time)
+    out = out.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block_size)))
+
+    # previous row's _is_hash: block-local lag, with the previous block's
+    # last-row value as the boundary fallback (tiny edge relation,
+    # broadcast); null at conversation start.
+    w_local = Window.partitionBy(conv_col, "_blk").orderBy(order_col)
+    edges = (
+        out.groupBy(conv_col, "_blk")
+        .agg(F.max_by("_is_hash", F.col(order_col)).alias("_edge_hash"))
+        .select(
+            conv_col, (F.col("_blk") + 1).alias("_blk"), "_edge_hash"
+        )
+    )
+    out = out.join(F.broadcast(edges), [conv_col, "_blk"], "left")
+    prev_hash = F.coalesce(F.lag("_is_hash").over(w_local), F.col("_edge_hash"))
+    run_start = F.col("_is_hash") & F.coalesce(~prev_hash, F.lit(True))
+    out = out.withColumn("_run_start", run_start).drop("_edge_hash")
+
+    # layer 1: run-start turn (inclusive max) + previous Time turn
+    # (exclusive max)
+    out = _scan_layer(
+        out,
+        [
+            ("_run_start_turn", F.when(F.col("_run_start"), F.col(order_col)), "max", False),
+            ("_prev_time_turn", F.when(F.col("_is_time"), F.col(order_col)), "max", True),
+        ],
+        conv_col,
+        order_col,
+    )
+    out = out.withColumn(
+        "is_entry_start",
+        F.col("_is_time")
+        & (
+            F.col("_prev_time_turn").isNull()
+            | (F.col("_prev_time_turn") < F.col("_run_start_turn"))
+        ),
+    )
+
+    # layer 2: entry ids (sum) + turn of the current entry's start (max)
+    out = _scan_layer(
+        out,
+        [
+            ("entry_id", F.col("is_entry_start").cast("long"), "sum", False),
+            ("_last_start_turn", F.when(F.col("is_entry_start"), F.col(order_col)), "max", False),
+        ],
+        conv_col,
+        order_col,
+    )
+    out = out.withColumn(
+        "is_meta",
+        F.col("_is_hash") & (F.col("_last_start_turn") >= F.col("_run_start_turn")),
+    ).withColumn("is_sql", ~F.col("is_meta"))
+
+    # layer 3: running SQL-line count
+    out = _scan_layer(
+        out, [("_sql_cum", F.col("is_sql").cast("long"), "sum", False)],
+        conv_col, order_col,
+    )
+    # layer 4: the entry's base SQL count (running max of the count AT
+    # entry starts -- monotone, so max == most recent)
+    out = _scan_layer(
+        out,
+        [("_entry_base", F.when(F.col("is_entry_start"), F.col("_sql_cum")), "max", False)],
+        conv_col, order_col,
+    )
+    out = out.withColumn(
+        "sql_pos",
+        F.when(F.col("is_sql"), F.col("_sql_cum") - F.col("_entry_base") - 1),
+    )
+    return out.filter(F.col("entry_id") > 0).drop(
+        "_is_hash", "_is_time", "_blk", "_run_start", "_run_start_turn",
+        "_prev_time_turn", "_last_start_turn", "_sql_cum", "_entry_base",
+    )
+
+
 def _meta_extract_cols(line: Column) -> list[Column]:
     cols = []
     for name, (pat, typ) in META_FIELD_PATTERNS.items():
@@ -310,10 +468,18 @@ def parse_slow_log(
     text_col: str = "text",
     emit_trailing: bool = False,
     use_pandas_udf: bool = False,
+    scalable: bool = False,
+    block_size: int = 1 << 16,
 ) -> DataFrame:
     """Full slow-log path: classify (P6) -> assemble + metrics + fingerprint
-    (P7-P10)."""
-    classified = classify_slow_log_lines(df, conv_col, order_col, text_col)
+    (P7-P10).  ``scalable=True`` switches classification to the block-scan
+    variant (hot-conversation skew; same results)."""
+    if scalable:
+        classified = classify_slow_log_lines_scalable(
+            df, conv_col, order_col, text_col, block_size
+        )
+    else:
+        classified = classify_slow_log_lines(df, conv_col, order_col, text_col)
     return assemble_slow_entries(
         classified, conv_col, order_col, emit_trailing, use_pandas_udf
     )

@@ -163,6 +163,7 @@ def slow_events(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
         transcripts,
         emit_trailing=cfg.emit_trailing,
         use_pandas_udf=cfg.use_pandas_udf_metrics,
+        scalable=cfg.scalable,
     )
     severity = F.when(
         F.col("query_time") > cfg.slow_warn_seconds, F.lit("WARNING")

@@ -174,6 +174,44 @@ def test_empty_lines_ignored(spark):
     assert got[0].thread_id == 5
 
 
+@pytest.mark.parametrize("block_size", [1, 2, 3, 5, 64])
+def test_scalable_classifier_equals_window_classifier(spark, block_size):
+    """Block-scan classification == whole-conversation-window
+    classification, with block_size forced tiny so every scan layer
+    crosses block boundaries (run starts, swallowed Times, entry bases)."""
+    from mariadb_to_graylog_spark.operators.slowlog import (
+        classify_slow_log_lines,
+        classify_slow_log_lines_scalable,
+    )
+
+    df = make_conv(spark, CORPUS)
+    cols = ["turn_idx", "line", "is_entry_start", "entry_id", "is_meta", "is_sql", "sql_pos"]
+    ref = [tuple(r) for r in classify_slow_log_lines(df).select(cols).orderBy("turn_idx").collect()]
+    got = [
+        tuple(r)
+        for r in classify_slow_log_lines_scalable(df, block_size=block_size)
+        .select(cols).orderBy("turn_idx").collect()
+    ]
+    assert got == ref
+
+
+def test_scalable_full_parse_on_datagen_corpus(spark, transcripts):
+    """End-to-end parse equality (window vs block-scan) on the synthetic
+    multi-conversation corpus."""
+    from mariadb_to_graylog_spark.plans.pipeline import split_dialects
+
+    _, slow = split_dialects(transcripts)
+    cols = ["conv_id", "entry_id", "query_text", "set_timestamp", "thread_id", "query_time"]
+    ref = sorted(
+        tuple(r) for r in parse_slow_log(slow).select(cols).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in parse_slow_log(slow, scalable=True, block_size=4).select(cols).collect()
+    )
+    assert got == ref and len(ref) > 0
+
+
 def test_fingerprint_spark_equals_python(spark):
     queries = [
         "SELECT * FROM orders WHERE customer_id = 123 AND status IN ('a','b','c')",
