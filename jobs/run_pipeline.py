@@ -170,24 +170,42 @@ def main(argv: list[str] | None = None) -> int:
             eventlog=eventlog,
         )
 
-        # C4: SIGINT/SIGTERM -> graceful stop at a micro-batch boundary (the
-        # reference defers signals around its send+log critical section;
-        # Structured Streaming's checkpoint gives that atomicity for free).
-        # SIGHUP -> rotate the eventlog-compat file, like the reference's
-        # deferred ROTATE request (mariadb-log-consumer.py:479-480,544-545).
-        # EventlogCompat is lock-protected: the handler runs on the main
-        # thread while foreachBatch writes from the streaming thread.
+        # C4: signal handlers only SET FLAGS -- the reference's deferred-
+        # request queue (mariadb-log-consumer.py:479-480,528-545).  Calling
+        # q.stop() (a py4j call) from inside a handler while the main
+        # thread is blocked in awaitTermination (another py4j call on the
+        # same channel) corrupts the connection -- found by the SIGTERM
+        # e2e test.  The main loop polls the flags between short waits:
+        # SIGTERM/SIGINT -> graceful stop at a micro-batch boundary,
+        # SIGHUP -> rotate the eventlog-compat file (lock-protected
+        # against the foreachBatch writer thread).
+        requests = {"stop": False, "rotate": False}
+
         def _stop(signum, frame):  # noqa: ARG001
-            q.stop()
+            requests["stop"] = True
 
         def _rotate(signum, frame):  # noqa: ARG001
-            if eventlog is not None:
-                eventlog.rotate()
+            requests["rotate"] = True
 
         signal.signal(signal.SIGTERM, _stop)
         signal.signal(signal.SIGINT, _stop)
         signal.signal(signal.SIGHUP, _rotate)
-        q.awaitTermination()
+        while True:
+            if requests["rotate"]:
+                requests["rotate"] = False
+                if eventlog is not None:
+                    eventlog.rotate()
+            if requests["stop"]:
+                q.stop()
+                break
+            try:
+                if q.awaitTermination(0.5):
+                    break
+            except Exception:
+                # interrupted wait (signal during the blocking call):
+                # loop around and act on the flags
+                if not (requests["stop"] or requests["rotate"]):
+                    raise
         if eventlog is not None:
             eventlog.close()
         return 0

@@ -1303,6 +1303,44 @@ FROM t
 """
 
 
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer stats: the LLM-token-count proxy."""
+    d = _documents(spark, sf_dir)
+    toks = tx.bpe_ish_tokens(F.col("text"))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n = F.size(toks)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.round(
+            total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("avg_bpe_token_len"),
+    )
+
+
+def _token_stats_bpe_oracle() -> str:
+    from mariadb_to_graylog_spark.operators.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{pat}', 1) AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_bpe,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_bpe,
+       round(CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (x, y) -> x + y) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_bpe_token_len
+FROM t
+"""
+
+
+ORACLE_TOKEN_STATS_BPE = _token_stats_bpe_oracle()
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
     return d.select(
@@ -1359,6 +1397,7 @@ TRAINING_QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -1380,6 +1419,7 @@ TRAINING_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "token_stats": ORACLE_TOKEN_STATS,
+    "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }

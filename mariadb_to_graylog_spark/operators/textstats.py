@@ -11,6 +11,11 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = r"([a-z0-9]+)"
 PUNCT_PATTERN = r"([.,;:!?])"
 
+# BPE-ish pre-tokenizer: contractions | letter runs | digit runs | symbol
+# runs -- the GPT-2 pattern's shape, restricted to constructs RE2 / Java
+# regex / Python re all support identically (no \p classes, no lookahead).
+BPE_ISH_PATTERN = r"((?:'(?:s|t|re|ve|m|ll|d))|(?:[a-z]+)|(?:[0-9]+)|(?:[^a-z0-9\s]+))"
+
 STOPWORDS = {
     "en": r"\b(the|a|of|to|and|in)\b",
     "de": r"\b(der|die|das|und|ein|zu)\b",
@@ -24,6 +29,14 @@ def tokens(c: Column) -> Column:
 
 def token_count(c: Column) -> Column:
     return F.size(tokens(c)).cast("long")
+
+
+def bpe_ish_tokens(c: Column) -> Column:
+    """Pre-tokenization the way byte-pair encoders chunk text before
+    merges: contractions split off, letter/digit/symbol runs separated.
+    A cheap, deterministic proxy for LLM token counting at corpus scale
+    (true BPE needs the merge table; this bounds it from above)."""
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 1)
 
 
 def stopword_count(c: Column, lang: str) -> Column:
