@@ -1055,13 +1055,13 @@ FROM r WHERE rk <= 3
 def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(spark, sf_dir)
     return sim.knn_ivf_trained(
-        e, F.col("vec_id") < 10, n_centroids=8, iters=2, dim=64, k=3
+        e, F.col("vec_id") < 10, n_centroids=8, iters=2, dim=64, k=3, nprobe=2
     )
 
 
 def _kmeans_oracle_sql(
     n_centroids: int = 8, iters: int = 2, dim: int = 64, k: int = 3,
-    round_digits: int = 6,
+    nprobe: int = 2, round_digits: int = 6,
 ) -> str:
     """Unrolled Lloyd iterations: one assignment + one rounded-mean CTE per
     iteration, replicating train_kmeans bit-for-bit (same seed rule, same
@@ -1103,11 +1103,20 @@ c{i + 1} AS (
     parts.append("," + assign(f"c{iters}", "fin"))
     parts.append(
         f""",
+qprobe AS (
+  SELECT vec_id, embedding, cid AS bucket
+  FROM (SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e, c{iters} c
+        WHERE e.vec_id < 10)
+  WHERE rn <= {nprobe}
+),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
-  FROM fin q JOIN fin c ON q.bucket = c.bucket
-  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+  FROM qprobe q JOIN fin c ON q.bucket = c.bucket
+  WHERE c.vec_id != q.vec_id
 ),
 r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

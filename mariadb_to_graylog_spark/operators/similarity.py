@@ -258,6 +258,22 @@ def srp_band_values(
     )
 
 
+def probe_buckets_local(
+    cents: list[tuple[int, list[float]]], vec_col: str, nprobe: int
+) -> Column:
+    """Query-side multi-probe: array of the ``nprobe`` nearest centroid
+    ids (cos desc, ties lowest id), map-side like the argmax fold."""
+    cent = _centroid_literal(cents)
+    cos_arr = F.transform(cent, lambda c: cosine(F.col(vec_col), c["cv"]))
+    ranked = F.sort_array(
+        F.zip_with(
+            cent, cos_arr,
+            lambda c, s: F.struct((-s).alias("neg"), c["cid"].alias("cid")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda p: p["cid"])
+
+
 def knn_ivf_trained(
     df: DataFrame,
     query_filter: Column,
@@ -267,19 +283,24 @@ def knn_ivf_trained(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 3,
+    nprobe: int = 1,
     round_digits: int = 6,
 ) -> DataFrame:
     """Bucketed ANN over TRAINED centroids: k-means (``train_kmeans``)
     replaces the filter-selected seeds, assignment is the zero-shuffle
-    argmax fold, then the same bucket-join top-k as ``knn_ivf``.  Recall
-    vs brute force is reported by bench.py (approximate by design: a
-    query's true neighbor can live in another bucket)."""
+    argmax fold, then the same bucket-join top-k as ``knn_ivf``.
+
+    ``nprobe`` is the standard IVF recall knob: each QUERY searches its
+    nprobe nearest buckets (the data side stays single-assigned, so a
+    (query, neighbor) pair appears at most once).  Candidate volume
+    scales linearly with nprobe; recall vs brute force is reported by
+    bench.py."""
     cents = train_kmeans(df, n_centroids, iters, id_col, vec_col, dim, round_digits)
     assigned = assign_buckets_local(df, cents, vec_col)
-    q = assigned.filter(query_filter).select(
+    q = df.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+        F.explode(probe_buckets_local(cents, vec_col, nprobe)).alias("q_bucket"),
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),

@@ -224,6 +224,28 @@ def test_ivf_trained_recall(spark, embeds):
     assert recall >= 0.5, f"IVF recall@3 {recall}"
 
 
+def test_ivf_nprobe_all_buckets_equals_bruteforce(spark, embeds):
+    """nprobe = n_centroids searches every bucket: IVF must then equal
+    brute force result-for-result (rank, neighbor, rounded cosine)."""
+    from mariadb_to_graylog_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_trained,
+    )
+
+    brute = {
+        tuple(r)
+        for r in knn_bruteforce(embeds, F.col("vec_id") < 5, k=3).collect()
+    }
+    ivf = {
+        tuple(r)
+        for r in knn_ivf_trained(
+            embeds, F.col("vec_id") < 5, n_centroids=4, iters=1, dim=64,
+            k=3, nprobe=4,
+        ).collect()
+    }
+    assert ivf == brute
+
+
 def test_lsh_bucket_stats_and_cap(spark, docs):
     """The bucket cap is never silent: stats expose dropped buckets/pairs,
     and the capped pair set equals the uncapped set minus pairs that only
