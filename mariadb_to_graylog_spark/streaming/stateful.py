@@ -205,6 +205,248 @@ def make_assembler(mode: str = "intended", flush_after_ms: int = 1000):
     return assemble
 
 
+# ---------------------------------------------------------------------------
+# slow-log dialect: the reference FSM with cross-batch state
+# ---------------------------------------------------------------------------
+
+_F2_TIME = re.compile(r"^# Time:\s+(.*\S)\s*$", re.ASCII)
+_F2_HEAD = re.compile(r"^(\d{2})(\d{2})(\d{2})\s", re.ASCII)
+_F2_CLOCK = re.compile(r"^\d{6}\s+(\d{1,2}):(\d{2}):(\d{2})$", re.ASCII)
+_ISO = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})\.(\d{6})$", re.ASCII
+)
+_I64_MAX = (1 << 63) - 1
+
+
+def _parse_time_line(line: str) -> int | None:
+    """'# Time:' payload -> epoch: 'yymmdd H:mm:ss' (pivot 69) or ISO with
+    micros (truncated), mirroring assemble_slow_entries' expressions."""
+    m = _F2_TIME.match(line)
+    if not m:
+        return None
+    raw = m.group(1)
+    h = _F2_HEAD.match(raw)
+    c = _F2_CLOCK.match(raw)
+    if h and c:
+        yy = int(h.group(1))
+        year = yy + 2000 if yy <= 68 else yy + 1900
+        return _epoch_utc(
+            year, int(h.group(2)), int(h.group(3)),
+            int(c.group(1)), int(c.group(2)), int(c.group(3)),
+        )
+    i = _ISO.match(raw)
+    if i:
+        return _epoch_utc(*(int(i.group(j)) for j in range(1, 7)))
+    return None
+
+
+def _slow_metrics(meta_lines: list[str]) -> dict:
+    """max() per field over the entry's META lines, typed like the batch
+    aggregate (try_cast overflow -> NULL)."""
+    out: dict = {}
+    for name, (pat, typ) in META_FIELD_PATTERNS.items():
+        vals = []
+        for ln in meta_lines:
+            m = re.search(pat, ln)
+            if m and m.group(1) != "":
+                v = m.group(1)
+                if typ == "long":
+                    iv = int(v)
+                    if iv > _I64_MAX:
+                        continue  # try_cast overflow -> NULL
+                    vals.append(iv)
+                elif typ == "double":
+                    vals.append(float(v))
+                else:
+                    vals.append(v)
+        out[name] = max(vals) if vals else None
+    return out
+
+
+from mariadb_to_graylog_spark.operators.slowlog import (  # noqa: E402
+    META_FIELD_PATTERNS,
+)
+
+SLOW_OUTPUT_SCHEMA = (
+    "conv_id string, entry_id long, start_turn_idx int, ts timestamp, "
+    "role string, tool string, set_timestamp long, time_line_ts long, "
+    "query_text string, "
+    + ", ".join(
+        f"{n} {'bigint' if t == 'long' else t}"
+        for n, (_, t) in META_FIELD_PATTERNS.items()
+    )
+    + ", query_text_raw string, ts_epoch long, query_fingerprint string"
+)
+
+_SLOW_COLS = (
+    ["conv_id", "entry_id", "start_turn_idx", "ts", "role", "tool",
+     "set_timestamp", "time_line_ts", "query_text"]
+    + list(META_FIELD_PATTERNS)
+    + ["query_text_raw", "ts_epoch", "query_fingerprint"]
+)
+
+SLOW_STATE_SCHEMA = (
+    "prev_type string, entry_count long, open boolean, start_turn int, "
+    "ts_us long, role string, tool string, sql_count long, "
+    "kept_lines array<string>, set_ts long, time_ts long, "
+    "meta_lines array<string>"
+)
+
+
+def _slow_entry_row(conv_id: str, st: dict) -> dict:
+    from mariadb_to_graylog_spark.operators.fingerprint import fingerprint_py
+
+    query_text = "\n".join(st["kept_lines"])
+    row = {
+        "conv_id": conv_id,
+        "entry_id": st["entry_count"],
+        "start_turn_idx": st["start_turn"],
+        "ts": pd.Timestamp(st["ts_us"], unit="us") if st["ts_us"] is not None else None,
+        "role": st["role"],
+        "tool": st["tool"],
+        "set_timestamp": st["set_ts"],
+        "time_line_ts": st["time_ts"],
+        "query_text": query_text,
+        **_slow_metrics(st["meta_lines"]),
+        "query_text_raw": ("\n" + query_text) if st["kept_lines"] else "",
+        "ts_epoch": st["set_ts"] if st["set_ts"] is not None else st["time_ts"],
+        "query_fingerprint": fingerprint_py(query_text),
+    }
+    return row
+
+
+def make_slow_assembler(emit_trailing: bool = False, flush_after_ms: int = 1000):
+    """applyInPandasWithState callback running the reference slow-log FSM
+    (mariadb-log-consumer.py:897-954) with cross-batch registers.  Entry
+    ids count every entry START (zero-SQL entries occupy an id but are
+    never emitted), matching the batch classifier's numbering.  With
+    ``emit_trailing=False`` (the reference default) the timeout only
+    DISCARDS stale state -- the trailing entry is dropped exactly like the
+    reference at EOF; ``True`` flushes it instead."""
+
+    def _open_state() -> dict:
+        return {
+            "prev_type": None, "entry_count": 0, "open": False,
+            "start_turn": None, "ts_us": None, "role": None, "tool": None,
+            "sql_count": 0, "kept_lines": [], "set_ts": None,
+            "time_ts": None, "meta_lines": [],
+        }
+
+    def _to_tuple(d: dict) -> tuple:
+        return (
+            d["prev_type"], d["entry_count"], d["open"], d["start_turn"],
+            d["ts_us"], d["role"], d["tool"], d["sql_count"],
+            d["kept_lines"], d["set_ts"], d["time_ts"], d["meta_lines"],
+        )
+
+    def _from_tuple(t: tuple) -> dict:
+        keys = [
+            "prev_type", "entry_count", "open", "start_turn", "ts_us",
+            "role", "tool", "sql_count", "kept_lines", "set_ts", "time_ts",
+            "meta_lines",
+        ]
+        d = dict(zip(keys, t))
+        d["kept_lines"] = list(d["kept_lines"] or [])
+        d["meta_lines"] = list(d["meta_lines"] or [])
+        return d
+
+    def assemble(key, pdfs, state):
+        conv_id = key[0]
+        out: list[dict] = []
+        if state.hasTimedOut:
+            st = _from_tuple(state.get)
+            if emit_trailing and st["open"] and st["sql_count"] >= 1:
+                out.append(_slow_entry_row(conv_id, st))
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=_SLOW_COLS)
+            return
+
+        st = _from_tuple(state.get) if state.exists else _open_state()
+        rows: list = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        rows.sort(key=lambda r: r.turn_idx)
+
+        for r in rows:
+            line = _RSTRIP.sub("", r.text or "")
+            if not line:
+                continue
+            is_new_entry = False
+            if line[0:2] == "# ":
+                if st["prev_type"] is None or st["prev_type"] == "SQL":
+                    if line[1:7] == " Time:":
+                        is_new_entry = True
+                        line_type = "META"
+                    else:
+                        line_type = "SQL"
+                else:
+                    line_type = "META"
+            else:
+                line_type = None if st["prev_type"] is None else "SQL"
+
+            if is_new_entry:
+                if st["open"] and st["sql_count"] >= 1:
+                    out.append(_slow_entry_row(conv_id, st))
+                ts_us = (
+                    int(r.ts.value // 1000)
+                    if isinstance(r.ts, pd.Timestamp) else None
+                )
+                st.update(
+                    open=True, entry_count=st["entry_count"] + 1,
+                    start_turn=int(r.turn_idx), ts_us=ts_us, role=r.role,
+                    tool=r.tool, sql_count=0, kept_lines=[], set_ts=None,
+                    time_ts=_parse_time_line(line),
+                    meta_lines=[line],
+                )
+            elif st["open"]:
+                if line_type == "META":
+                    st["meta_lines"] = st["meta_lines"] + [line]
+                elif line_type == "SQL":
+                    pos = st["sql_count"]
+                    if pos == 0 and line[0:4] == "use ":
+                        pass  # skipped (position-0 only)
+                    elif pos == 1 and line[0:14] == "SET timestamp=":
+                        try:
+                            st["set_ts"] = int(line[14 : len(line) - 1])
+                        except ValueError:
+                            st["set_ts"] = None
+                        else:
+                            if st["set_ts"] > _I64_MAX:
+                                st["set_ts"] = None
+                    else:
+                        st["kept_lines"] = st["kept_lines"] + [line]
+                    st["sql_count"] += 1
+            st["prev_type"] = line_type
+
+        state.update(_to_tuple(st))
+        state.setTimeoutDuration(flush_after_ms)
+        if out:
+            yield pd.DataFrame(out, columns=_SLOW_COLS)
+
+    return assemble
+
+
+def assemble_slow_entries_stateful(
+    transcripts,
+    emit_trailing: bool = False,
+    flush_after_ms: int = 1000,
+):
+    """Cross-batch slow-log assembly: the FSM's registers persist across
+    micro-batches per conversation; entries emit one-entry-late exactly
+    like batch parse_slow_log / the reference tail loop."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_slow_assembler(emit_trailing, flush_after_ms)
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SLOW_OUTPUT_SCHEMA,
+        stateStructType=SLOW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def assemble_entries_stateful(
     transcripts,  # streaming DataFrame with transcript schema
     mode: str = "intended",

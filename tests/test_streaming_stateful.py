@@ -76,6 +76,68 @@ def test_python_parse_twin_equals_spark_parse(spark):
         assert p["message"] == r.message, (i, ln)
 
 
+@pytest.mark.parametrize("emit_trailing", [False, True])
+def test_cross_batch_slowlog_equals_batch(spark, tmp_path, emit_trailing):
+    """Slow-log FSM with cross-batch registers: the corpus split across
+    THREE micro-batches (boundaries INSIDE entries: mid-meta, mid-SQL)
+    must equal batch parse_slow_log column-for-column, including metrics,
+    timestamps and fingerprints."""
+    from test_slowlog import CORPUS
+
+    from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
+    from mariadb_to_graylog_spark.operators.slowlog import parse_slow_log
+    from mariadb_to_graylog_spark.streaming.stateful import (
+        assemble_slow_entries_stateful,
+    )
+
+    src = str(tmp_path / f"slow_{emit_trailing}")
+    chunks = [CORPUS[0:9], CORPUS[9:17], CORPUS[17:]]  # mid-entry splits
+    off = 0
+    for i, chunk in enumerate(chunks):
+        _conv_df(spark, chunk, turn_offset=off).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        off += len(chunk)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    entries = assemble_slow_entries_stateful(
+        stream, emit_trailing=emit_trailing, flush_after_ms=200
+    )
+    name = f"slow_stateful_{emit_trailing}"
+    q = (
+        entries.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+    )
+    expected = [
+        r.asDict()
+        for r in parse_slow_log(_conv_df(spark, CORPUS), emit_trailing=emit_trailing)
+        .orderBy("entry_id")
+        .collect()
+    ]
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise AssertionError(q.exception())
+        if spark.sql(f"select count(*) from {name}").first()[0] >= len(expected):
+            break
+        time.sleep(1)
+    q.stop()
+    got = [
+        r.asDict()
+        for r in spark.sql(f"select * from {name}").orderBy("entry_id").collect()
+    ]
+    assert len(got) == len(expected) == (4 if emit_trailing else 3)
+    for g, e in zip(got, expected):
+        for col in e:
+            assert g[col] == e[col], (col, g[col], e[col])
+
+
 @pytest.mark.parametrize("mode", ["intended", "strict"])
 def test_cross_batch_assembly_equals_batch(spark, tmp_path, mode):
     from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
