@@ -192,6 +192,7 @@ def main() -> int:
         return 0
 
     queries: dict[str, float] = {"pipeline_e2e": round(pipe_sec, 3)}
+    query_rows: dict[str, int] = {}
     if not args.skip_queries:
         import mariadb_to_graylog_spark.entry_queries as eq
 
@@ -202,7 +203,7 @@ def main() -> int:
             # the timed run is steady-state like the pipeline measurement
             fn(spark, args.sf_dir).count()
             t0 = time.perf_counter()
-            fn(spark, args.sf_dir).count()
+            query_rows[name] = fn(spark, args.sf_dir).count()
             queries[name] = round(time.perf_counter() - t0, 3)
 
     extras: dict[str, float] = {}
@@ -236,6 +237,7 @@ def main() -> int:
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / pipe_sec, 1),
                 "n_routed": detail["n_routed"],
+                "query_rows": query_rows,
                 **extras,
             }
         )

@@ -152,21 +152,28 @@ def train_kmeans(
     Empty buckets drop out (both engines' GROUP BY agree).  Returns
     driver-side centroids for ``assign_buckets_local``.
     """
-    rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
-    for _ in range(iters):
-        assigned = assign_buckets_local(df, cents, vec_col)
-        agg = assigned.groupBy("bucket").agg(
-            *[
-                F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
-        cents = sorted(
-            (int(r["bucket"]), [float(r[f"c{i}"]) for i in range(dim)])
-            for r in agg.collect()
-        )
-    return cents
+    # iterative trainer: cache the working set (id, vec) across rounds --
+    # every Lloyd implementation does; without it each round re-scans and
+    # re-shuffles the input
+    work = df.select(id_col, vec_col).persist()
+    try:
+        rows = work.orderBy(id_col).limit(k).collect()
+        cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+        for _ in range(iters):
+            assigned = assign_buckets_local(work, cents, vec_col)
+            agg = assigned.groupBy("bucket").agg(
+                *[
+                    F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            cents = sorted(
+                (int(r["bucket"]), [float(r[f"c{i}"]) for i in range(dim)])
+                for r in agg.collect()
+            )
+        return cents
+    finally:
+        work.unpersist()
 
 
 def knn_ivf(
