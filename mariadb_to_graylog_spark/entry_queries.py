@@ -1365,6 +1365,69 @@ FROM documents
 """
 
 
+def _pii_snippet():
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact user@example.com now"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" seen from 10.1.2.3 port 80"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" call 555-123-4567 today"))
+        .otherwise(F.lit(""))
+    )
+
+_PII_SNIPPET_SQL = """CASE doc_id % 4
+  WHEN 0 THEN ' contact user@example.com now'
+  WHEN 1 THEN ' seen from 10.1.2.3 port 80'
+  WHEN 2 THEN ' call 555-123-4567 today' ELSE '' END"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene over documents with deterministically-planted PII:
+    per-rule counts + the redacted text's hash."""
+    d = _documents(spark, sf_dir)
+    t = F.concat(F.col("text"), _pii_snippet())
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *tx.pii_counts(t),
+        F.md5(tx.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Generated from the SAME PII_RULES table as the engine chain."""
+    expr = f"text || {_PII_SNIPPET_SQL}"
+    count_cols = []
+    for name, pat, rep in tx.PII_RULES:
+        p = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({expr}, '({p})', 1)) AS BIGINT) AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {", ".join(count_cols)},
+       md5({expr}) AS redacted_md5
+FROM documents
+"""
+
+
+ORACLE_PII_REDACT = _pii_oracle_sql()
+
+
+def q_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-mod sampling (engine-independent, unlike
+    df.sample): ~30% of documents by salted doc_id hash."""
+    d = _documents(spark, sf_dir)
+    kept = d.filter(tx.deterministic_sample_filter(F.col("doc_id"), 30, salt="s1"))
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+ORACLE_SAMPLE_DET = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS BIGINT) % 100 < 30
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mariadb_to_graylog_spark.operators.multimodal import (
         attach_payload,
@@ -1408,6 +1471,8 @@ TRAINING_QUERIES = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
+    "pii_redact": q_pii_redact,
+    "sample_det": q_sample_det,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1430,6 +1495,8 @@ TRAINING_ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "pii_redact": ORACLE_PII_REDACT,
+    "sample_det": ORACLE_SAMPLE_DET,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

@@ -124,3 +124,52 @@ def winnow_fingerprint(c: Column, window: int = 8, select_every: int = 4) -> Col
             ),
         )
     )
+
+
+# (name, pattern, replacement): RE2/Java/Python-portable, no lookaround.
+# Order matters: emails first (their digits must not look like phones),
+# IPv4 before phone (dotted quads match the loose phone class otherwise).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Training-data hygiene: emails / IPv4s / phone-ish digit runs
+    replaced with typed placeholders, as a codegen'd regexp chain (the
+    same shared-rule-table pattern as the query fingerprint, so the SQL
+    oracle is generated from PII_RULES and cannot drift)."""
+    s = c
+    for _, pat, rep in PII_RULES:
+        s = F.regexp_replace(s, pat, rep)
+    return s
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-rule match counts (BEFORE redaction), aliased n_<rule>."""
+    cols = []
+    s = c
+    for name, pat, rep in PII_RULES:
+        cols.append(
+            F.size(F.regexp_extract_all(s, F.lit(f"({pat})"), 1))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        # count on the progressively-redacted text so later rules don't
+        # recount inside earlier matches (mirrors the replace chain)
+        s = F.regexp_replace(s, pat, rep)
+    return cols
+
+
+def deterministic_sample_filter(
+    key: Column, rate_pct: int, salt: str = ""
+) -> Column:
+    """Keep-filter for reproducible sampling: md5-hash the key (+salt),
+    keep iff hash % 100 < rate_pct.  Unlike df.sample() this is stable
+    across runs, partitionings and engines (oracle-checkable), and
+    composable (different salts -> independent subsamples)."""
+    from mariadb_to_graylog_spark.operators.dedup import h32
+
+    return h32(F.concat(key.cast("string"), F.lit(salt))) % 100 < rate_pct

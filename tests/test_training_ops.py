@@ -224,6 +224,42 @@ def test_ivf_trained_recall(spark, embeds):
     assert recall >= 0.5, f"IVF recall@3 {recall}"
 
 
+def test_pii_redaction_goldens(spark):
+    from mariadb_to_graylog_spark.operators.textstats import pii_counts, redact_pii
+
+    rows = [
+        ("mail Bob.Smith+x@corp.example.org soon", "mail <EMAIL> soon", (1, 0, 0)),
+        ("host 192.168.001.7 replied", "host <IP> replied", (0, 1, 0)),
+        ("dial +44(0)20-7946-0958 now", "dial <PHONE> now", (0, 0, 1)),
+        ("a@b.co via 10.0.0.1 or 555-123-4567", "<EMAIL> via <IP> or <PHONE>", (1, 1, 1)),
+        ("no pii here", "no pii here", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "t string")
+    got = df.select(
+        redact_pii(F.col("t")).alias("r"), *pii_counts(F.col("t"))
+    ).collect()
+    for (_, want_r, want_n), g in zip(rows, got):
+        assert g.r == want_r
+        assert (g.n_email, g.n_ip, g.n_phone) == want_n
+
+
+def test_deterministic_sample_stable_and_composable(spark, docs):
+    from mariadb_to_graylog_spark.operators.textstats import (
+        deterministic_sample_filter,
+    )
+
+    k = F.col("doc_id")
+    a1 = {r.doc_id for r in docs.filter(deterministic_sample_filter(k, 30, "s1")).collect()}
+    a2 = {r.doc_id for r in docs.filter(deterministic_sample_filter(k, 30, "s1")).collect()}
+    assert a1 == a2  # stable across runs (df.sample is not)
+    n = docs.count()
+    assert 0.15 * n < len(a1) < 0.45 * n
+    b = {r.doc_id for r in docs.filter(deterministic_sample_filter(k, 30, "s2")).collect()}
+    assert b != a1  # different salt -> a different (independent) subsample
+    sub = {r.doc_id for r in docs.filter(deterministic_sample_filter(k, 10, "s1")).collect()}
+    assert sub <= a1  # rates nest for a fixed salt
+
+
 def test_ivf_nprobe_all_buckets_equals_bruteforce(spark, embeds):
     """nprobe = n_centroids searches every bucket: IVF must then equal
     brute force result-for-result (rank, neighbor, rounded cosine)."""
