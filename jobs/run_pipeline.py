@@ -75,6 +75,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--eof-wait", type=int, default=1000, help="stream trigger ms")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (stop=NEVER)")
     ap.add_argument(
+        "--stateful-assembly",
+        action="store_true",
+        help="streaming: cross-batch entry assembly (needs explicit --log-type)",
+    )
+    ap.add_argument(
         "--debug-gelf",
         action="store_true",
         help="print sample GELF messages (M5, Registry.DEBUG['GELF_MESSAGES'])",
@@ -91,6 +96,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     if args.eventlog_file and ":" in args.eventlog_file:
         # the reference's separator validation (mariadb-log-consumer.py:306-307)
         ap.error("--eventlog-file path must not contain ':'")
+    if args.stateful_assembly and (args.stop != "NEVER" or args.log_type == "AUTO"):
+        # dialect auto-detection needs whole-conversation knowledge a
+        # cross-batch stream cannot have (the reference takes --log-type
+        # per tailed file for the same reason)
+        ap.error("--stateful-assembly requires --stop=NEVER and an explicit --log-type")
     return args
 
 
@@ -160,15 +170,29 @@ def main(argv: list[str] | None = None) -> int:
             int(args.message_wait * 1000) if args.message_wait else args.eof_wait
         )
         stream = read_transcript_stream(spark, args.input)
-        q = start_pipeline_stream(
-            stream,
-            args.output,
-            args.checkpoint,
-            cfg,
-            eof_wait_ms=trigger_ms,
-            sink_config=_sink_config(args) if args.graylog_host else None,
-            eventlog=eventlog,
-        )
+        if args.stateful_assembly:
+            from mariadb_to_graylog_spark.streaming.stream_pipeline import (
+                start_stateful_pipeline_stream,
+            )
+
+            q = start_stateful_pipeline_stream(
+                stream,
+                args.output,
+                args.checkpoint,
+                log_type=args.log_type,
+                cfg=cfg,
+                eof_wait_ms=trigger_ms,
+            )
+        else:
+            q = start_pipeline_stream(
+                stream,
+                args.output,
+                args.checkpoint,
+                cfg,
+                eof_wait_ms=trigger_ms,
+                sink_config=_sink_config(args) if args.graylog_host else None,
+                eventlog=eventlog,
+            )
 
         # C4: signal handlers only SET FLAGS -- the reference's deferred-
         # request queue (mariadb-log-consumer.py:479-480,528-545).  Calling

@@ -136,6 +136,12 @@ def split_dialects(
 def error_events(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
     parsed = parse_error_log_lines(transcripts)
     entries = assemble_error_entries(parsed, mode=cfg.mode, scalable=cfg.scalable)
+    return error_entries_to_events(entries)
+
+
+def error_entries_to_events(entries: DataFrame) -> DataFrame:
+    """Entry table -> EVENT_COLS shape (shared by the batch plan and the
+    stateful streaming assembly, whose entries carry the same columns)."""
     return entries.select(
         F.lit("error").alias("source"),
         "conv_id",
@@ -165,6 +171,11 @@ def slow_events(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
         use_pandas_udf=cfg.use_pandas_udf_metrics,
         scalable=cfg.scalable,
     )
+    return slow_entries_to_events(entries, cfg)
+
+
+def slow_entries_to_events(entries: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Entry table -> EVENT_COLS shape (shared with stateful streaming)."""
     severity = F.when(
         F.col("query_time") > cfg.slow_warn_seconds, F.lit("WARNING")
     ).otherwise(F.lit("NOTE"))

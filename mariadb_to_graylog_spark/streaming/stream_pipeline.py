@@ -97,6 +97,62 @@ def start_pipeline_stream(
     )
 
 
+def start_stateful_pipeline_stream(
+    transcripts: DataFrame,
+    sink_base: str,
+    checkpoint_dir: str,
+    log_type: str,
+    cfg: PipelineConfig | None = None,
+    eof_wait_ms: int = 1000,
+    flush_after_ms: int = 1000,
+) -> StreamingQuery:
+    """CROSS-BATCH streaming pipeline: stateful entry assembly
+    (streaming/stateful.py) -> the same enrich + route column expressions
+    as batch -> streaming parquet file sink (exactly-once via the file
+    sink's transaction log).
+
+    ``log_type`` must be explicit (ERROR or SLOW): dialect auto-detection
+    needs whole-conversation knowledge that a cross-batch stream cannot
+    have -- exactly why the reference takes --log-type per tailed file.
+    """
+    from mariadb_to_graylog_spark.operators.routing import route
+    from mariadb_to_graylog_spark.plans.pipeline import (
+        enrich,
+        error_entries_to_events,
+        slow_entries_to_events,
+    )
+    from mariadb_to_graylog_spark.streaming.stateful import (
+        assemble_entries_stateful,
+        assemble_slow_entries_stateful,
+    )
+
+    cfg = cfg or PipelineConfig()
+    if log_type == "ERROR":
+        entries = assemble_entries_stateful(
+            transcripts, mode=cfg.mode, flush_after_ms=flush_after_ms
+        )
+        events = error_entries_to_events(entries)
+    elif log_type == "SLOW":
+        entries = assemble_slow_entries_stateful(
+            transcripts,
+            emit_trailing=cfg.emit_trailing,
+            flush_after_ms=flush_after_ms,
+        )
+        events = slow_entries_to_events(entries, cfg)
+    else:
+        raise ValueError("stateful streaming needs --log-type ERROR or SLOW")
+    routed = route(enrich(events, cfg), cfg=cfg.router)
+    return (
+        routed.filter(F.col("sink") != "dropped")
+        .writeStream.format("parquet")
+        .option("path", sink_base)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("sink")
+        .trigger(processingTime=f"{eof_wait_ms} milliseconds")
+        .start()
+    )
+
+
 def windowed_severity_counts(
     transcripts: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -51,6 +51,25 @@ def test_graylog_host_requires_a_port():
     assert e.value.code == 2
 
 
+def test_stateful_assembly_validation():
+    # needs streaming mode AND an explicit dialect (no cross-batch
+    # auto-detection)
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--input", "/in", "--output", "/out", "--stateful-assembly"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        parse_args(
+            ["--input", "/in", "--output", "/out", "--stateful-assembly",
+             "--stop", "NEVER", "--checkpoint", "/c"]
+        )
+    assert e.value.code == 2
+    a = parse_args(
+        ["--input", "/in", "--output", "/out", "--stateful-assembly",
+         "--stop", "NEVER", "--checkpoint", "/c", "--log-type", "ERROR"]
+    )
+    assert a.stateful_assembly and a.log_type == "ERROR"
+
+
 def test_eventlog_validation():
     # ':' in path: the reference's separator rule (:306-307)
     with pytest.raises(SystemExit) as e:

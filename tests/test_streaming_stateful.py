@@ -76,6 +76,78 @@ def test_python_parse_twin_equals_spark_parse(spark):
         assert p["message"] == r.message, (i, ln)
 
 
+def test_stateful_pipeline_stream_matches_batch_routing(spark, tmp_path):
+    """The CLI-reachable stateful streaming pipeline (assemble -> enrich ->
+    route -> file sink): routed GELF set equals the batch error branch over
+    the same conversation split across three micro-batches."""
+    from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
+    from mariadb_to_graylog_spark.operators.routing import route
+    from mariadb_to_graylog_spark.plans.pipeline import (
+        PipelineConfig,
+        enrich,
+        error_entries_to_events,
+    )
+    from mariadb_to_graylog_spark.streaming.stream_pipeline import (
+        start_stateful_pipeline_stream,
+    )
+
+    src = str(tmp_path / "src_routed")
+    chunks = [LINES[0:3], LINES[3:6], LINES[6:9]]
+    off = 0
+    for i, chunk in enumerate(chunks):
+        _conv_df(spark, chunk, turn_offset=off).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        off += len(chunk)
+        time.sleep(1.1)
+
+    cfg = PipelineConfig(mode="intended")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    sink_base = str(tmp_path / "routed_sinks")
+    q = start_stateful_pipeline_stream(
+        stream, sink_base, str(tmp_path / "ckpt_routed"),
+        log_type="ERROR", cfg=cfg, flush_after_ms=200,
+    )
+    expected = {
+        (r.sink, r.gelf_json)
+        for r in route(
+            enrich(
+                error_entries_to_events(
+                    assemble_error_entries(
+                        parse_error_log_lines(_conv_df(spark, LINES)),
+                        mode="intended",
+                    )
+                ),
+                cfg,
+            ),
+            cfg=cfg.router,
+        ).collect()
+        if r.sink != "dropped"
+    }
+    deadline = time.time() + 120
+    got: set = set()
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise AssertionError(q.exception())
+        try:
+            got = {
+                (r.sink, r.gelf_json)
+                for r in spark.read.parquet(sink_base).collect()
+            }
+        except Exception:
+            got = set()
+        if len(got) >= len(expected):
+            break
+        time.sleep(1)
+    q.stop()
+    assert got == expected and len(expected) == 4
+
+
 @pytest.mark.parametrize("emit_trailing", [False, True])
 def test_cross_batch_slowlog_equals_batch(spark, tmp_path, emit_trailing):
     """Slow-log FSM with cross-batch registers: the corpus split across
