@@ -31,16 +31,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    up = str.upper  # the reference accepts values case-insensitively (:310-311)
     ap = argparse.ArgumentParser(prog="run_pipeline")
-    ap.add_argument("--input", required=True, help="transcripts path / Iceberg table")
+    ap.add_argument(
+        "--input", "--log", dest="input", required=True,
+        help="transcripts path / Iceberg table (--log = reference alias)",
+    )
     ap.add_argument("--output", required=True, help="sink fan-out base path")
     ap.add_argument("--lineage", help="lineage/checkpoint table path")
     ap.add_argument("--metrics", help="aggregates output path")
     ap.add_argument("--resume", action="store_true", help="resume from lineage HWMs")
-    ap.add_argument("--log-type", choices=["AUTO", "ERROR", "SLOW"], default="AUTO")
+    ap.add_argument("--log-type", type=up, choices=["AUTO", "ERROR", "SLOW"], default="AUTO")
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--limit", type=int, default=None)
-    ap.add_argument("--stop", choices=["EOF", "NEVER"], default="EOF")
+    ap.add_argument(
+        "--stop", type=up, choices=["EOF", "NEVER", "LIMIT"], default="EOF",
+        help="LIMIT = reference compat: batch run capped at --limit rows",
+    )
+    ap.add_argument(
+        "--force-run", action="store_true",
+        help="accepted for reference compat; a no-op here -- concurrent-run "
+        "safety comes from run_id-scoped table commits, not a lock file (C3)",
+    )
     ap.add_argument("--hostname", default="sparkhost")
     ap.add_argument("--label", default="mariadb_to_graylog_spark")
     ap.add_argument("--mode", choices=["strict", "intended"], default="strict")
@@ -57,6 +69,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--graylog-port-http", type=int, default=None)
     ap.add_argument("--graylog-tcp-timeout", type=float, default=2.0)
     ap.add_argument("--graylog-http-timeout", type=float, default=10.0)
+    ap.add_argument(
+        "--graylog-http-timeout-idle", type=float, default=5.0,
+        help="accepted for reference compat; urllib exposes one socket "
+        "timeout (the reference constructs both and assigns neither, :28-33)",
+    )
     ap.add_argument("--graylog-http-max-retries", type=int, default=0)
     ap.add_argument(
         "--tcp-compat-double-send",
@@ -87,10 +104,25 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     args = ap.parse_args(argv)
     if args.stop == "NEVER" and not args.checkpoint:
         ap.error("--stop=NEVER requires --checkpoint")  # exit code 2
-    if args.graylog_host and not (
+    if args.stop == "LIMIT" and args.limit is None:
+        # mirror of mariadb-log-consumer.py:313-314
+        ap.error("--stop=LIMIT is specified, but --limit is not specified")
+    # NOTE: the reference rejects ':' in the sourcelog path (:306-307)
+    # because its eventlog embeds the PATH as a ':'-separated field; this
+    # engine's eventlog source field is conv_id, and --input is routinely a
+    # URI (s3://...) or an Iceberg identifier -- so that check would be
+    # actively wrong here.  --limit WITHOUT --stop=LIMIT is also accepted
+    # (a documented superset; the reference aborts).
+    if "/" in args.label or "\\" in args.label:
+        ap.error("a label cannot contain slashes or backslashes")  # :319-320
+    any_port = bool(
         args.graylog_port_udp or args.graylog_port_tcp or args.graylog_port_http
-    ):
-        ap.error("--graylog-host requires at least one --graylog-port-*")
+    )
+    if bool(args.graylog_host) != any_port:
+        # both-or-neither, exactly like :322-323
+        ap.error("set --graylog-host and at least one port, or omit all these options")
+    if args.graylog_http_max_retries < 0:
+        ap.error("--graylog-http-max-retries can only be a non-negative integer")
     if args.truncate_eventlog and not args.eventlog_file:
         ap.error("--truncate-eventlog requires --eventlog-file")
     if args.eventlog_file and ":" in args.eventlog_file:

@@ -33,6 +33,35 @@ def test_sink_toggles_and_limits():
     assert a.limit == 100 and a.offset == 5
 
 
+def test_reference_compat_surface():
+    """Drop-in flags from the reference CLI: --log alias, case-insensitive
+    values, --stop LIMIT cross-validation, --force-run no-op, both-or-
+    neither graylog validation, label slash rule."""
+    a = parse_args(
+        ["--log", "/in", "--output", "/out", "--log-type", "error",
+         "--stop", "limit", "--limit", "10", "--force-run",
+         "--graylog-http-timeout-idle", "5"]
+    )
+    assert a.input == "/in" and a.log_type == "ERROR" and a.stop == "LIMIT"
+    assert a.force_run
+
+    with pytest.raises(SystemExit) as e:  # reference :313-314
+        parse_args(["--input", "/in", "--output", "/out", "--stop", "LIMIT"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:  # reference :319-320
+        parse_args(["--input", "/in", "--output", "/out", "--label", "a/b"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:  # ports without host (:322-323)
+        parse_args(["--input", "/in", "--output", "/out", "--graylog-port-udp", "1"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        parse_args(
+            ["--input", "/in", "--output", "/out", "--graylog-host", "h",
+             "--graylog-port-udp", "1", "--graylog-http-max-retries", "-1"]
+        )
+    assert e.value.code == 2
+
+
 def test_graylog_args():
     a = parse_args(
         [
