@@ -71,6 +71,37 @@ def test_resume_metrics_scoped_to_run(spark, transcripts, tmp_path):
     assert spark.read.parquet(out).count() == 2 * n1
 
 
+def test_concurrent_runs_do_not_interfere(spark, transcripts, tmp_path):
+    """C3 (lock file) deliberately non-ported: two SIMULTANEOUS runs into
+    the same output directory must both succeed, with the union of their
+    rows present and each metrics append scoped to its own run -- the
+    table-commit + run_id isolation that replaces the reference's flock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src_path = str(tmp_path / "transcripts")
+    transcripts.write.parquet(src_path)
+    out = str(tmp_path / "sinks")
+    metrics = str(tmp_path / "metrics")
+
+    def run():
+        return job_main(
+            ["--input", src_path, "--output", out, "--metrics", metrics]
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        rcs = list(ex.map(lambda _: run(), range(2)))
+    assert rcs == [0, 0]
+
+    written = spark.read.parquet(out)
+    n_one = written.select("run_id").distinct().count()
+    assert n_one == 2  # two distinct runs landed
+    per_run = written.groupBy("run_id").count().collect()
+    assert len({r["count"] for r in per_run}) == 1  # identical row counts
+    # each metrics append counted exactly its own run's rows
+    total = spark.read.parquet(metrics).agg(F.sum("n")).collect()[0][0]
+    assert total == written.count()
+
+
 def test_job_live_graylog_sinks(spark, transcripts, tmp_path):
     """--graylog-* wiring: every routed GELF reaches the in-process UDP /
     HTTP listeners through the failover chain, with per-sink counts equal

@@ -142,3 +142,44 @@ def test_error_strict_every_split_point_matches_simulator():
         assert [str(_norm(r["ts_epoch"])) for r in got] == [
             e["timestamp"] for e in expected
         ], chunks
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_LINE_KINDS = st.one_of(
+    st.just("# Time: 231030 12:40:21"),
+    st.just("# Time: 2023-10-30T12:40:21.000001"),
+    st.builds("# Thread_id: {}  Schema: s  QC_hit: No".format, st.integers(0, 99)),
+    st.just("# Query_time: 1.5  Lock_time: 0.01  Rows_sent: 3  Rows_examined: 9"),
+    st.just("# not a time header"),
+    st.just("use shop;"),
+    st.builds("SET timestamp={};".format, st.integers(0, 2_000_000_000)),
+    st.builds("SELECT {};".format, st.integers(0, 9)),
+    st.just(""),
+    st.just("   "),
+    st.just("bare continuation words"),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_LINE_KINDS, min_size=0, max_size=24),
+    st.integers(0, 1 << 30),
+    st.booleans(),
+)
+def test_slow_fsm_random_corpora_random_splits(lines, seed, emit_trailing):
+    """Property: for ANY line sequence and ANY batch segmentation, the
+    stateful FSM emits exactly the simulator's entries."""
+    expected = simulate_slow_log(lines, emit_trailing=emit_trailing)
+    rng = random.Random(seed)
+    chunks, i = [], 0
+    while i < len(lines):
+        j = rng.randint(i + 1, len(lines))
+        chunks.append(lines[i:j])
+        i = j
+    got = _run_chunks(make_slow_assembler(emit_trailing=emit_trailing), chunks)
+    assert [r["query_text_raw"] for r in got] == [e["query_text"] for e in expected]
+    assert [_norm(r["set_timestamp"]) for r in got] == [
+        e["set_timestamp"] for e in expected
+    ]
