@@ -286,10 +286,17 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import Observation
 
     run_id = src.new_run_id()
-    # run_id rides every routed row so metrics/lineage read-back can scope
-    # to THIS run: args.output is mode=append, and an unscoped re-read after
-    # a resume run would re-count every previous run's rows
-    routed = build_routed(transcripts, cfg).withColumn("run_id", F.lit(run_id))
+    # every run writes into its own run_id=<id> partition directory.  Two
+    # reasons: (1) metrics/lineage read-back scopes to THIS run (the
+    # output accumulates across runs); (2) CONCURRENT runs into the same
+    # output are safe -- parallel writers to one directory share the
+    # Hadoop committer's _temporary staging dir and clobber each other
+    # (observed: FileNotFoundException on _temporary/0), while per-run
+    # subdirectories never share staging.  This is the filesystem-level
+    # stand-in for Iceberg/Delta commit isolation (C3 non-port).
+    routed = build_routed(transcripts, cfg)
+    out_dir = f"{args.output}/run_id={run_id}"
+    metrics_dir = f"{args.metrics}/run_id={run_id}" if args.metrics else None
     if args.debug_gelf:
         routed.select("gelf_json").show(20, truncate=False)
 
@@ -304,7 +311,7 @@ def main(argv: list[str] | None = None) -> int:
             F.sum((F.col("sink") == "dropped").cast("long")), F.lit(0)
         ).alias("rows_dropped"),
     )
-    write_fanout(routed, args.output)
+    write_fanout(routed, out_dir)
     counters = obs.get
     n_routed = counters["rows_total"] - counters["rows_dropped"]
     print(
@@ -327,11 +334,11 @@ def main(argv: list[str] | None = None) -> int:
 
     # aggregates + lineage read the just-written sink tables: one extra scan
     # of the (much smaller) routed output instead of recomputing the plan --
-    # scoped to THIS run's rows (args.output accumulates across runs).
+    # reading only THIS run's partition directory.
     if n_routed > 0:
-        written = spark.read.parquet(args.output).filter(F.col("run_id") == run_id)
-        if args.metrics:
-            combined_counts(written).write.mode("append").parquet(args.metrics)
+        written = spark.read.parquet(out_dir)
+        if metrics_dir:
+            combined_counts(written).write.mode("append").parquet(metrics_dir)
         if args.lineage or args.eventlog_file:
             lineage = src.build_lineage(transcripts, written, run_id=run_id)
             if args.lineage:
