@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Data-scaling evidence for the near-dup path: time the default
+operators at N and 4N documents on fixed cores.
+
+The round-1 all-pairs shapes were O(docs^2) inside a block -- 4x data
+would cost ~16x.  The round-2 defaults (LSH candidates -> verify, banded
+SimHash, connected components) must scale ~linearly in documents +
+candidate pairs; this runner measures exactly that and records it next to
+the core-scaling evidence in BENCH/BASELINE.md's sibling BENCH/DEDUP.md.
+
+Documents are synthesized like the driver's corpus (word salad from a
+small vocabulary -- the WORST case for LSH bucket crowding, see
+operators/dedup.py) with planted near-duplicates, deterministic per id.
+
+Usage: python tools/bench_dedup_scale.py [--n 25000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+VOCAB = (
+    "spark line column sort value scan hash batch part order small fast "
+    "slow group query table key stream filter big merge agg window join "
+    "the a customer vector"
+).split()
+
+
+def generate_documents(spark, n_docs: int, words_per_doc: int = 50):
+    """Deterministic word-salad docs + a near-dup for every 5th doc."""
+    from pyspark.sql import functions as F
+
+    vocab = F.lit(VOCAB)
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda i: F.element_at(
+            vocab,
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))), 1, 8),
+                    16, 10,
+                ).cast("long")
+                % len(VOCAB)
+            ).cast("int")
+            + 1,
+        ),
+    )
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def run_level(spark, n_docs: int) -> dict:
+    from mariadb_to_graylog_spark.operators import dedup as dd
+
+    docs = generate_documents(spark, n_docs)
+    path = f"/tmp/spark_graft_bench/dedup_docs_{n_docs}"
+    if not (Path(path) / "_SUCCESS").exists():
+        docs.write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path).repartition(spark.sparkContext.defaultParallelism)
+
+    out: dict = {"n_docs": n_docs}
+
+    # thresholds at true near-dup levels (planted dups are ~0.98 Jaccard):
+    # at loose thresholds this self-similar corpus legitimately contains
+    # QUADRATICALLY many qualifying pairs, which measures the data, not
+    # the plan -- that regime is what dedup_groups/keep-one (linear
+    # output) exists for, also measured below.
+    def lsh_verified():
+        return dd.lsh_jaccard_verified(
+            d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.8
+        ).count()
+
+    def banded():
+        return dd.simhash_pairs_banded(d, bits=60, max_distance=2).count()
+
+    def groups():
+        pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=8)
+        return dd.near_dedup_groups(d, pairs).filter("doc_id = group_id").count()
+
+    for name, fn in [("lsh_verified", lsh_verified), ("simhash_banded", banded), ("dedup_groups_keep_one", groups)]:
+        fn()  # full-plan warmup
+        sec, n = timed(fn)
+        out[name] = {"sec": sec, "rows": n}
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=25_000)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from bench import bench_spark
+
+    spark = bench_spark(args.cpus, app="dedup-scale")
+    lo = run_level(spark, args.n)
+    hi = run_level(spark, args.n * 4)
+
+    lines = [
+        "# BENCH/DEDUP.md -- near-dup DATA-scaling evidence",
+        "",
+        "Same fixed core count, documents scaled 4x (word-salad corpus with",
+        "planted near-dups -- the WORST case for LSH bucket crowding).  A",
+        "block-quadratic shape would cost ~16x at 4x docs; the defaults must",
+        "stay near-linear in docs + candidate pairs.",
+        "",
+        "| operator | docs | wall (s) | result rows | 4x-data time ratio (ideal ~4, quadratic ~16) |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ("lsh_verified", "simhash_banded", "dedup_groups_keep_one"):
+        ratio = hi[name]["sec"] / max(lo[name]["sec"], 1e-9)
+        lines.append(
+            f"| {name} | {lo['n_docs']:,} | {lo[name]['sec']} | {lo[name]['rows']:,} | |"
+        )
+        lines.append(
+            f"| {name} | {hi['n_docs']:,} | {hi[name]['sec']} | {hi[name]['rows']:,} | **{ratio:.1f}x** |"
+        )
+    lines += [
+        "",
+        "Sub-4x ratios = fixed per-job overhead still amortizing at this "
+        "scale; the signal is the DISTANCE from the ~16x quadratic "
+        "signature the round-1 all-pairs shapes would show.  lsh_verified's "
+        "result rows grow exactly 4x (the planted dups); keep-one output "
+        "is linear by construction -- the product shape for corpora whose "
+        "pair graph is dense.",
+        "",
+        "Raw:",
+        "```json",
+        json.dumps({"lo": lo, "hi": hi}, indent=2),
+        "```",
+    ]
+    out = REPO / "BENCH" / "DEDUP.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(json.dumps({"lo": lo, "hi": hi}))
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
