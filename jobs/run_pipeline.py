@@ -87,7 +87,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--message-wait",
         type=float,
         default=None,
-        help="S5 rate limit: streaming trigger seconds; NO-OP in batch (warned)",
+        help="S5 rate limit in MILLISECONDS (reference units): streaming "
+        "trigger interval; NO-OP in batch (warned)",
     )
     ap.add_argument("--eof-wait", type=int, default=1000, help="stream trigger ms")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (stop=NEVER)")
@@ -199,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
         trigger_ms = (
-            int(args.message_wait * 1000) if args.message_wait else args.eof_wait
+            int(args.message_wait) if args.message_wait else args.eof_wait
         )
         stream = read_transcript_stream(spark, args.input)
         if args.stateful_assembly:
