@@ -39,6 +39,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
+    )
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Map-side per-partition top-k before the global ranking window: the
+    exchange carries at most partitions x queries x k rows instead of the
+    full N x Q scored relation.  EXACT: each partition keeps its k best by
+    the same (cos desc, neighbor_id) ordering the global window uses, and
+    the true global top-k is a subset of the partition winners."""
+    best_first = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("cos_sim")).alias("neg"),
+                F.col("neighbor_id").alias("id"),
+                F.col("cos_sim").alias("c"),
+            )
+        )
+    )
+    # groupBy (query, input-partition): keys never repeat across input
+    # partitions, so the "partial" aggregation completes map-side
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(F.slice(best_first, 1, k).alias("_top"))
+    )
+    return partial.select(
+        "query_id", F.explode("_top").alias("_t")
+    ).select(
+        "query_id",
+        F.col("_t.id").alias("neighbor_id"),
+        F.col("_t.c").alias("cos_sim"),
+    )
+
+
 def knn_bruteforce(
     df: DataFrame,
     query_filter: Column,
@@ -46,11 +88,14 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
+    partial_topk: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors for the rows matching ``query_filter``.
 
-    The query side is broadcast (small); candidates stream map-side, the
-    only shuffle is the per-query top-k window over k*|queries| rows.
+    The query side is broadcast (small); candidates score map-side; with
+    ``partial_topk`` each partition pre-reduces to its k best per query,
+    so the ranking exchange carries partitions x queries x k rows instead
+    of the full N x Q scored relation (the round-1 plan's one weak spot).
     """
     q = df.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -63,14 +108,9 @@ def knn_bruteforce(
             "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
-    )
+    if partial_topk:
+        scored = _partial_topk(scored, k)
+    return _topk_window(scored, k)
 
 
 def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
@@ -337,7 +377,7 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     dim: int = 64,
     bands: int = 3,
-    rows_per_band: int = 8,
+    rows_per_band: int | None = 8,
     threshold: float = 0.999,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -353,7 +393,20 @@ def embedding_neardup_lsh(
     100%; near-misses at s ~ 0.999 are missed with p ~ (1-0.89)^bands
     (~0.1% at 3x8).  Replaces the all-pairs-within-label join
     (``embedding_neardup_pairs``), which is block-quadratic.
+
+    SIZING MATTERS AT SCALE: average bucket = N / 2^rows_per_band, so
+    candidate pairs ~ bands * N^2 / 2^(rows+1) -- a FIXED rows_per_band
+    re-grows quadratically as the corpus grows (measured 15x at 4x data
+    on uniform vectors with 8 bits).  ``rows_per_band=None`` auto-sizes
+    to ~log2(N/4) so buckets stay O(1) and candidates O(N); exact-copy
+    recall is unaffected by more bits (identical vectors share every
+    sign), near-miss recall degrades gently (compensate with ``bands``).
     """
+    if rows_per_band is None:
+        import math
+
+        n = df.count()
+        rows_per_band = max(8, math.ceil(math.log2(max(n, 2) / 4)))
     planes = srp_planes(bands * rows_per_band, dim)
     band_vals = srp_band_values(vec_col, planes, bands, rows_per_band)
     buckets = df.select(

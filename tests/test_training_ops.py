@@ -146,15 +146,24 @@ def test_embedding_lsh_exact_dup_recall(spark, embeds):
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
     )
     both = embeds.unionByName(dups)
-    pairs = {
-        (r.id_a, r.id_b)
-        for r in embedding_neardup_lsh(both, dim=64, threshold=0.999).collect()
-    }
     planted = {
         (r.vec_id, r.vec_id + 50000)
         for r in embeds.filter(F.col("vec_id") % 5 == 0).collect()
     }
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(both, dim=64, threshold=0.999).collect()
+    }
     assert planted <= pairs
+    # auto-sized bits-per-band (the at-scale default): exact-copy recall
+    # stays 100% no matter how many bits the corpus size demands
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(
+            both, dim=64, threshold=0.999, rows_per_band=None
+        ).collect()
+    }
+    assert planted <= auto
 
 
 def test_connected_components_and_keep_one(spark, docs):

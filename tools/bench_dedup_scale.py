@@ -62,6 +62,64 @@ def generate_documents(spark, n_docs: int, words_per_doc: int = 50):
     return base.unionByName(dups)
 
 
+def generate_embeddings(spark, n_vecs: int, dim: int = 64):
+    """Deterministic pseudo-random vectors + an exact copy of every 10th."""
+    from pyspark.sql import functions as F
+
+    comp = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("id").cast("string"), F.lit("."), i.cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).cast("float")
+            / 1000.0
+        ),
+    )
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"), comp.alias("embedding"))
+    dups = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(dups)
+
+
+def run_embedding_level(spark, n_vecs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators import similarity as sim
+
+    path = f"/tmp/spark_graft_bench/dedup_vecs_{n_vecs}"
+    if not (Path(path) / "_SUCCESS").exists():
+        generate_embeddings(spark, n_vecs).write.mode("overwrite").parquet(path)
+    e = spark.read.parquet(path).repartition(spark.sparkContext.defaultParallelism)
+
+    out: dict = {"n_vecs": n_vecs}
+
+    def srp():
+        # rows_per_band=None: auto-sized ~log2(N/4) so buckets stay O(1)
+        # as the corpus grows (fixed 8 bits measured 15x time at 4x data
+        # on uniform vectors -- the sizing rule in the operator docstring)
+        return sim.embedding_neardup_lsh(
+            e, dim=64, threshold=0.999, rows_per_band=None
+        ).count()
+
+    def brute():
+        return sim.knn_bruteforce(e, F.col("vec_id") < 8, k=3).count()
+
+    for name, fn in [("embed_neardup_lsh", srp), ("knn_bruteforce", brute)]:
+        fn()
+        sec, n = timed(fn)
+        out[name] = {"sec": sec, "rows": n}
+    return out
+
+
 def timed(fn):
     t0 = time.perf_counter()
     n = fn()
@@ -114,6 +172,10 @@ def main() -> int:
     spark = bench_spark(args.cpus, app="dedup-scale")
     lo = run_level(spark, args.n)
     hi = run_level(spark, args.n * 4)
+    vlo = run_embedding_level(spark, args.n)
+    vhi = run_embedding_level(spark, args.n * 4)
+    lo.update(vlo)
+    hi.update(vhi)
 
     lines = [
         "# BENCH/DEDUP.md -- near-dup DATA-scaling evidence",
@@ -126,13 +188,19 @@ def main() -> int:
         "| operator | docs | wall (s) | result rows | 4x-data time ratio (ideal ~4, quadratic ~16) |",
         "|---|---|---|---|---|",
     ]
-    for name in ("lsh_verified", "simhash_banded", "dedup_groups_keep_one"):
+    for name, unit in (
+        ("lsh_verified", "n_docs"),
+        ("simhash_banded", "n_docs"),
+        ("dedup_groups_keep_one", "n_docs"),
+        ("embed_neardup_lsh", "n_vecs"),
+        ("knn_bruteforce", "n_vecs"),
+    ):
         ratio = hi[name]["sec"] / max(lo[name]["sec"], 1e-9)
         lines.append(
-            f"| {name} | {lo['n_docs']:,} | {lo[name]['sec']} | {lo[name]['rows']:,} | |"
+            f"| {name} | {lo[unit]:,} | {lo[name]['sec']} | {lo[name]['rows']:,} | |"
         )
         lines.append(
-            f"| {name} | {hi['n_docs']:,} | {hi[name]['sec']} | {hi[name]['rows']:,} | **{ratio:.1f}x** |"
+            f"| {name} | {hi[unit]:,} | {hi[name]['sec']} | {hi[name]['rows']:,} | **{ratio:.1f}x** |"
         )
     lines += [
         "",
