@@ -21,6 +21,14 @@ quirks, %y pivot, ASCII whitespace classes) -- tested equal against the
 Spark parse in tests/test_streaming_stateful.py, and the assembled output
 is tested byte-identical to batch ``assemble_error_entries`` with one
 conversation split across three micro-batches.
+
+BOTH dialects are covered: ``assemble_entries_stateful`` (error log) and
+``assemble_slow_entries_stateful`` (the slow-log FSM with its registers in
+state, column-equal to batch ``parse_slow_log`` including metrics and
+fingerprints).  Exhaustive split-point + random-corpus property tests
+drive the callbacks against a fake GroupState without Spark
+(tests/test_stateful_exhaustive.py); the CLI reaches this via
+``--stateful-assembly`` (jobs/run_pipeline.py).
 """
 
 from __future__ import annotations
