@@ -1350,6 +1350,46 @@ FROM t
 ORACLE_TOKEN_STATS_BPE = _token_stats_bpe_oracle()
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: duplicate-word-bigram ratio, with a planted
+    highly-repetitive variant of every 7th doc (text doubled) so the
+    signal separates."""
+    d = _documents(spark, sf_dir)
+    boiler = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(boiler)
+    return both.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tx.word_bigrams(F.col("text"))).cast("long").alias("n_bigrams"),
+        tx.dup_bigram_ratio(F.col("text")).alias("dup_bigram_ratio"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' ' || text FROM documents WHERE doc_id % 7 = 0
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) - 1, 1) + 1),
+           i -> concat_ws(' ',
+                regexp_extract_all(lower(text), '([a-z0-9]+)', 1)[CAST(i AS INT)],
+                regexp_extract_all(lower(text), '([a-z0-9]+)', 1)[CAST(i AS INT) + 1])
+         ) AS grams
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(grams) AS BIGINT) AS n_bigrams,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_ratio
+FROM g
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
     return d.select(
@@ -1471,6 +1511,7 @@ TRAINING_QUERIES = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition": q_repetition,
     "pii_redact": q_pii_redact,
     "sample_det": q_sample_det,
     "multimodal_meta": q_multimodal_meta,
@@ -1495,6 +1536,7 @@ TRAINING_ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "repetition": ORACLE_REPETITION,
     "pii_redact": ORACLE_PII_REDACT,
     "sample_det": ORACLE_SAMPLE_DET,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -173,3 +173,29 @@ def deterministic_sample_filter(
     from mariadb_to_graylog_spark.operators.dedup import h32
 
     return h32(F.concat(key.cast("string"), F.lit(salt))) % 100 < rate_pct
+
+
+def word_bigrams(c: Column) -> Column:
+    """Adjacent token pairs ('a b'), the unit of repetition detection."""
+    toks = tokens(c)
+    n = F.size(toks)
+    # try_element_at: the trailing index overruns on <2-token docs and
+    # must yield NULL (concat_ws skips it), not an ANSI error
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+
+
+def dup_bigram_ratio(c: Column, round_digits: int = 6) -> Column:
+    """Repetition / boilerplate signal: 1 - distinct/total word bigrams.
+    Templated or looping text scores high; the classic heuristic for
+    dropping machine-generated boilerplate from a training corpus."""
+    grams = word_bigrams(c)
+    total = F.size(grams).cast("double")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+        round_digits,
+    )

@@ -233,6 +233,23 @@ def test_ivf_trained_recall(spark, embeds):
     assert recall >= 0.5, f"IVF recall@3 {recall}"
 
 
+def test_repetition_goldens(spark):
+    from mariadb_to_graylog_spark.operators.textstats import dup_bigram_ratio
+
+    rows = [
+        ("a b c d e", 0.0),             # all bigrams distinct
+        ("a b a b a b", 0.6),           # 5 bigrams, 2 distinct
+        ("loop loop loop loop", 1.0),   # one bigram repeated (3 total, 1 distinct) -> 2/3
+        ("single", 0.0),                # degenerate: 1 pseudo-bigram
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r[0] for r in df.select(dup_bigram_ratio(F.col("t"))).collect()]
+    assert got[0] == 0.0
+    assert abs(got[1] - 0.6) < 1e-9
+    assert abs(got[2] - (1 - 1 / 3)) < 1e-6
+    assert got[3] == 0.0
+
+
 def test_pii_redaction_goldens(spark):
     from mariadb_to_graylog_spark.operators.textstats import pii_counts, redact_pii
 
