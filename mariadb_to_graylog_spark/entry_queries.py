@@ -1467,6 +1467,32 @@ FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS BIGINT) % 100 < 30
 """
 
+_STRATA_RATES = {"en": 50, "de": 20, "fr": 10}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: per-stratum deterministic rates."""
+    d = _documents(spark, sf_dir)
+    kept = d.filter(
+        tx.stratified_sample_filter(
+            F.col("doc_id"), F.col("lang"), _STRATA_RATES, salt="s1"
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 0 END
+GROUP BY lang
+"""
+
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mariadb_to_graylog_spark.operators.multimodal import (
@@ -1514,6 +1540,7 @@ TRAINING_QUERIES = {
     "repetition": q_repetition,
     "pii_redact": q_pii_redact,
     "sample_det": q_sample_det,
+    "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1539,6 +1566,7 @@ TRAINING_ORACLES = {
     "repetition": ORACLE_REPETITION,
     "pii_redact": ORACLE_PII_REDACT,
     "sample_det": ORACLE_SAMPLE_DET,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

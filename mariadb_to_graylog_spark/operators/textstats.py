@@ -175,6 +175,21 @@ def deterministic_sample_filter(
     return h32(F.concat(key.cast("string"), F.lit(salt))) % 100 < rate_pct
 
 
+def stratified_sample_filter(
+    key: Column, strata: Column, rates_pct: dict[str, int], salt: str = ""
+) -> Column:
+    """Per-stratum deterministic sampling (language rebalancing, the
+    standard curation move): each stratum keeps its own hash-mod rate;
+    unlisted strata are dropped.  Same stability/composability properties
+    as ``deterministic_sample_filter``."""
+    from mariadb_to_graylog_spark.operators.dedup import h32
+
+    rate = F.lit(0)
+    for k, v in rates_pct.items():
+        rate = F.when(strata == k, F.lit(int(v))).otherwise(rate)
+    return h32(F.concat(key.cast("string"), F.lit(salt))) % 100 < rate
+
+
 def word_bigrams(c: Column) -> Column:
     """Adjacent token pairs ('a b'), the unit of repetition detection."""
     toks = tokens(c)
