@@ -343,7 +343,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.lineage or args.eventlog_file:
             lineage = src.build_lineage(transcripts, written, run_id=run_id)
             if args.lineage:
-                src.write_lineage(lineage, args.lineage)
+                # per-run subdir for the same committer-staging reason as
+                # the sinks/metrics ("run=" not "run_id=": the rows already
+                # carry a run_id DATA column, and partition discovery must
+                # not collide with it)
+                src.write_lineage(lineage, f"{args.lineage}/run={run_id}")
             if args.eventlog_file:
                 # reference file-format export (C1): tiny per-conversation
                 # aggregate, driver-side by design (migration tooling)

@@ -18,9 +18,13 @@ Query -> SURVEY.md section 2 operator map:
   slowlog_entries         P6-P10, P8 position quirk, EP2 trailing drop
   offset_limit            SRC3, SRC4
   resume_hwm              SRC2, C1
+  windowed_counts         A2 streaming-window semantics (batch twin)
   counters                A1
   tpch_pricing            general agg capability (hash agg, decimal sums)
   join_enrich             P12-style broadcast enrichment joins
+
+Training-data queries (dedup / similarity / text / multimodal) are in the
+second half of this module; docs/OPERATOR_MAP.md is the full inventory.
 """
 
 from __future__ import annotations
