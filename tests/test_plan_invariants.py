@@ -1,0 +1,31 @@
+"""Plan-shape invariants across EVERY driver query: builds all 36 physical
+plans (no execution) and asserts the scale-killers are absent.
+
+* CartesianProduct: never, anywhere.
+* BroadcastNestedLoopJoin: only in the ANN queries whose DESIGN is
+  "broadcast the tiny query/centroid side and score map-side" -- there the
+  nested loop IS the intended all-candidates scoring pass, bounded by the
+  broadcast side's size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import mariadb_to_graylog_spark.entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+# crossJoin(broadcast(tiny)) is the intended shape here: every candidate
+# scores against the handful of broadcast queries/centroids; resume_hwm
+# broadcasts a ONE-ROW threshold scalar to every row
+BNLJ_BY_DESIGN = {"knn_bruteforce", "knn_ivf", "resume_hwm"}
+
+
+@pytest.mark.parametrize("name", sorted(eq.ALL_QUERIES))
+def test_no_quadratic_join_operators_in_plan(spark, name):
+    df = eq.ALL_QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in BNLJ_BY_DESIGN:
+        assert "BroadcastNestedLoopJoin" not in plan, name
