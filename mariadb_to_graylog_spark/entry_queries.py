@@ -867,10 +867,18 @@ ORACLE_DEDUP_LSH_VERIFIED = _lsh_verified_oracle_sql()
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: LSH pairs -> connected components -> every
-    doc labeled with its group (keep-one = doc_id == group_id)."""
+    """End-to-end near-dedup: LSH candidates -> exact-Jaccard VERIFY ->
+    connected components -> every doc labeled with its group (keep-one =
+    doc_id == group_id).
+
+    Components are built over VERIFIED pairs, not raw LSH candidates: a
+    single false-positive candidate edge would transitively chain two
+    unrelated dup-clusters, and keep-one would then delete genuinely
+    distinct documents (r2 verdict #1)."""
     d = docs_with_near_dups(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=8)
+    pairs = dd.lsh_jaccard_verified(
+        d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
     groups = dd.near_dedup_groups(d, pairs)
     return groups.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -878,16 +886,31 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ground truth: recursive-CTE reachability -> MIN reachable id per node.
-# UNION (not UNION ALL) dedups states, so the recursion terminates.
+# ground truth: LSH candidates -> exact 3-gram Jaccard verification ->
+# recursive-CTE reachability over VERIFIED edges -> MIN reachable id per
+# node.  UNION (not UNION ALL) dedups states, so the recursion terminates.
 ORACLE_DEDUP_GROUPS = (
     _minhash_cand_ctes(4, 8, 4)
     + """,
+g AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 3))) AS grams
+  FROM d
+),
+vp AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN g ga ON ga.id = cand.id_a JOIN g gb ON gb.id = cand.id_b
+  WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE)
+        >= 0.5
+),
 reach(id, grp) AS (
   SELECT doc_id, doc_id FROM d
   UNION
   SELECT CASE WHEN r.id = c.id_a THEN c.id_b ELSE c.id_a END, r.grp
-  FROM reach r JOIN cand c ON r.id = c.id_a OR r.id = c.id_b
+  FROM reach r JOIN vp c ON r.id = c.id_a OR r.id = c.id_b
 )
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(grp) AS BIGINT) AS group_id
 FROM reach GROUP BY id

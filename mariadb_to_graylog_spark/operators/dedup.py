@@ -273,63 +273,67 @@ def lsh_jaccard_verified(
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 50
+    edges: DataFrame, max_iters: int = 50, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """(id, component) for every node in the edge list, component = MIN id
     reachable -- the standard large-graph min-label propagation (GraphX/
     Pregel CC), as DataFrame iterations:
 
-    * each round: one shuffle join (labels into the symmetric edge list) +
-      one groupBy-min, then ``least(own, neighbor-min)``;
+    * each round: ONE shuffle join (labels into the symmetric edge list)
+      and ONE groupBy-min over (neighbor messages UNION own label) -- the
+      union keeps every node present, so no left-join-back is needed;
     * converges in O(component diameter) rounds -- near-dup clusters are
-      shallow (a dup cluster's LSH pairs form a dense blob, diameter ~2);
-    * ``localCheckpoint`` truncates the lineage each round so the plan
-      stays O(1); on a real cluster use a checkpoint dir;
+      shallow (a dup cluster's verified pairs form a dense blob,
+      diameter ~2);
+    * convergence is detected from the MONOTONE LABEL-SUM INVARIANT: labels
+      only ever decrease (min-propagation), so sum(label) is strictly
+      decreasing until the fixpoint and equal exactly at it.  The probe is
+      a count+sum over the just-checkpointed blocks -- no join, no second
+      pass over the edges (the previous implementation paid a full
+      labels-to-labels join + count per round);
+    * ``checkpoint_dir`` selects RELIABLE checkpointing (survives executor
+      loss -- required on a real cluster, where ``localCheckpoint`` blocks
+      die with their executor and fail the job mid-iteration).  When None
+      (tests / local mode) it falls back to ``localCheckpoint``.  Either
+      way the lineage is truncated each round so the plan stays O(1);
     * the result (min id per component) is ITERATION-ORDER INDEPENDENT, so
       it is oracle-checkable against a recursive-CTE ground truth.
 
     Raises if not converged within ``max_iters`` -- silent partial labels
     would be wrong-but-plausible, the worst failure mode for dedup.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda d: d.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    # decimal(38,0) sum cannot overflow for < ~1e19 rows of long labels
+    _sig = lambda d: d.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    prev = _sig(labels)
     try:
         for _ in range(max_iters):
-            nbr = (
-                sym.join(
-                    labels.select(F.col("id").alias("src"), "label"), "src"
-                )
-                .groupBy("dst")
-                .agg(F.min("label").alias("_nbr"))
+            msgs = sym.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("id"), "label")
+            labels = _ckpt(
+                msgs.union(labels).groupBy("id").agg(F.min("label").alias("label"))
             )
-            new = (
-                labels.join(nbr.withColumnRenamed("dst", "id"), "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("_nbr", F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new
-            if changed == 0:
+            cur = _sig(labels)
+            if cur == prev:
                 return labels.withColumnRenamed("label", "component")
+            prev = cur
     finally:
         sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
@@ -339,12 +343,20 @@ def near_dedup_groups(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label EVERY document with its near-dup group (singletons are their
     own group): the end-to-end dedup shape at scale is
-    candidates (LSH) -> verify -> connected components -> keep one per
-    group (``filter(doc_id == group_id)``)."""
-    comp = connected_components(pairs)
+    candidates (LSH) -> VERIFY (``lsh_jaccard_verified``) -> connected
+    components -> keep one per group (``filter(doc_id == group_id)``).
+
+    Feed VERIFIED pairs, never raw LSH candidates: LSH is probabilistic,
+    and a single false-positive edge transitively chains two unrelated
+    dup-clusters into one component -- keep-one would then delete genuinely
+    distinct documents.  (Tested: test_training_ops.py plants an FP candidate and
+    asserts the verified path does not merge what the raw path would.)
+    """
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -191,6 +191,84 @@ def test_connected_components_and_keep_one(spark, docs):
     assert kept == [1, 7, 10, 99]
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches CC to reliable .checkpoint() (survives
+    executor loss on a real cluster): same labels, files actually written
+    to the given directory."""
+    import os
+
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 8)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckdir)
+        for f in files
+    ]
+    assert written, "reliable checkpoint must materialize RDD blocks on disk"
+
+
+def test_planted_fp_candidate_only_verified_edges_safe(spark):
+    """A single false-positive LSH candidate edge transitively merges two
+    unrelated dup-clusters under connected components; verification kills
+    the edge and keeps the clusters apart (r2 verdict ask #1).
+
+    The corpus is frozen so that at (bands=4, rows_per_band=1):
+    docs 1-2 and 3-4 are true near-dups (3-gram Jaccard ~0.99) while every
+    cross pair collides in band 3 with Jaccard ~0.24 -- a planted FP."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_jaccard_verified,
+        minhash_lsh_pairs,
+        near_dedup_groups,
+    )
+
+    shared = "graylog event routing pipeline severity"
+    ua = "crimson harbor lanterns drifting over quiet marble canyons tonight"
+    ub = "quartz bayou flickers beside the bronze mesa ripple channel"
+    df = spark.createDataFrame(
+        [
+            (1, f"{ua} {shared} alpha"),
+            (2, f"{ua} {shared} alphas"),
+            (3, f"{ub} {shared} beta"),
+            (4, f"{ub} {shared} betas"),
+        ],
+        "doc_id long, text string",
+    )
+
+    raw = minhash_lsh_pairs(df, shingle_n=4, bands=4, rows_per_band=1)
+    raw_pairs = {(r.id_a, r.id_b) for r in raw.collect()}
+    cross = {(a, b) for (a, b) in raw_pairs if (a <= 2) != (b <= 2)}
+    assert cross, "corpus must plant a false-positive LSH candidate"
+    assert {(1, 2), (3, 4)} <= raw_pairs
+
+    ver = lsh_jaccard_verified(
+        df, shingle_n=4, bands=4, rows_per_band=1, n=3, threshold=0.5
+    )
+    ver_pairs = {(r.id_a, r.id_b) for r in ver.collect()}
+    assert ver_pairs == {(1, 2), (3, 4)}  # FP edges verified away
+
+    # raw edges: the FP chains everything into ONE component -> keep-one
+    # would delete genuinely distinct documents
+    g_raw = {
+        r.doc_id: r.group_id for r in near_dedup_groups(df, raw).collect()
+    }
+    assert set(g_raw.values()) == {1}
+
+    # verified edges: two components, one survivor each
+    g_ver = {
+        r.doc_id: r.group_id for r in near_dedup_groups(df, ver).collect()
+    }
+    assert g_ver == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
 def test_kmeans_deterministic_and_mapside_assignment(spark, embeds):
     """train_kmeans is RNG-free (two runs -> identical centroids) and the
     assignment is a pure projection: no Exchange, no Window in the plan."""

@@ -151,7 +151,10 @@ def run_level(spark, n_docs: int) -> dict:
         return dd.simhash_pairs_banded(d, bits=60, max_distance=2).count()
 
     def groups():
-        pairs = dd.minhash_lsh_pairs(d, shingle_n=4, bands=4, rows_per_band=8)
+        # the production shape: candidates -> VERIFY -> CC -> keep-one
+        pairs = dd.lsh_jaccard_verified(
+            d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.8
+        )
         return dd.near_dedup_groups(d, pairs).filter("doc_id = group_id").count()
 
     for name, fn in [("lsh_verified", lsh_verified), ("simhash_banded", banded), ("dedup_groups_keep_one", groups)]:
