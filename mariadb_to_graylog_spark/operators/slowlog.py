@@ -241,15 +241,21 @@ def classify_slow_log_lines_scalable(
     out = out.withColumn("_is_hash", is_hash).withColumn("_is_time", is_hash & is_time)
     out = out.withColumn("_blk", F.floor(F.col(order_col) / F.lit(block_size)))
 
-    # previous row's _is_hash: block-local lag, with the previous block's
-    # last-row value as the boundary fallback (tiny edge relation,
-    # broadcast); null at conversation start.
+    # previous row's _is_hash: block-local lag, with the boundary fallback
+    # taken from the last row of the previous PRESENT block (lag over the
+    # per-block edge relation -- a fixed +1 shift would lose the carry
+    # across blocks whose rows were all blank-filtered or absent from a
+    # turn_idx gap, misclassifying the next block's first rows as a
+    # conversation start); null at conversation start.  The edge relation
+    # is one row per (conv, block) -- tiny, broadcast.
     w_local = Window.partitionBy(conv_col, "_blk").orderBy(order_col)
+    w_edge = Window.partitionBy(conv_col).orderBy("_blk")
     edges = (
         out.groupBy(conv_col, "_blk")
-        .agg(F.max_by("_is_hash", F.col(order_col)).alias("_edge_hash"))
+        .agg(F.max_by("_is_hash", F.col(order_col)).alias("_last_hash"))
         .select(
-            conv_col, (F.col("_blk") + 1).alias("_blk"), "_edge_hash"
+            conv_col, "_blk",
+            F.lag("_last_hash").over(w_edge).alias("_edge_hash"),
         )
     )
     out = out.join(F.broadcast(edges), [conv_col, "_blk"], "left")

@@ -195,6 +195,52 @@ def test_scalable_classifier_equals_window_classifier(spark, block_size):
     assert got == ref
 
 
+@pytest.mark.parametrize(
+    "gap_turns",
+    [
+        [(2, ""), (3, "")],  # a whole block of blank-filtered lines
+        [],  # turn_idx gap: blocks 2..3 simply absent
+    ],
+    ids=["blank_block", "turn_gap"],
+)
+def test_scalable_classifier_carries_hash_flag_across_empty_blocks(
+    spark, gap_turns
+):
+    """A block with NO surviving rows (all-blank span or turn_idx gap) must
+    not reset the previous-row-hash boundary carry: the hash run straddling
+    the gap is ONE run, so the post-gap '# Thread_id' line stays META.  The
+    old +1-shift edge join fed the post-gap block a null carry, re-started
+    the run there, and misclassified the META line as SQL."""
+    from mariadb_to_graylog_spark.operators.slowlog import (
+        classify_slow_log_lines,
+        classify_slow_log_lines_scalable,
+    )
+
+    rows = [
+        (0, "# Time: 231030 12:40:21"),
+        (1, "# User@Host: app[app] @ localhost [127.0.0.1]"),
+        *gap_turns,
+        (8, "# Thread_id: 5  Schema: s  QC_hit: No"),
+        (9, "SELECT 1;"),
+        (10, "# Time: 231030 12:41:00"),
+        (11, "SELECT 2;"),
+    ]
+    df = spark.createDataFrame(
+        [("c", t, x) for t, x in rows], "conv_id string, turn_idx int, text string"
+    )
+    cols = ["turn_idx", "is_entry_start", "entry_id", "is_meta", "is_sql", "sql_pos"]
+    ref = [tuple(r) for r in classify_slow_log_lines(df).select(cols).orderBy("turn_idx").collect()]
+    got = [
+        tuple(r)
+        for r in classify_slow_log_lines_scalable(df, block_size=2)
+        .select(cols).orderBy("turn_idx").collect()
+    ]
+    assert got == ref
+    # and the semantic point itself: turn 8 is META, not SQL
+    meta = {r[0]: r[3] for r in got}
+    assert meta[8] is True
+
+
 def test_scalable_full_parse_on_datagen_corpus(spark, transcripts):
     """End-to-end parse equality (window vs block-scan) on the synthetic
     multi-conversation corpus."""
