@@ -98,6 +98,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="streaming: cross-batch entry assembly (needs explicit --log-type)",
     )
     ap.add_argument(
+        "--stateful-flush-ms",
+        type=int,
+        default=None,
+        help="trailing-entry flush timeout for --stateful-assembly; "
+        "default 4x the trigger interval (min 1000ms) so a conversation "
+        "absent from one micro-batch is not split",
+    )
+    ap.add_argument(
         "--debug-gelf",
         action="store_true",
         help="print sample GELF messages (M5, Registry.DEBUG['GELF_MESSAGES'])",
@@ -134,6 +142,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         # cross-batch stream cannot have (the reference takes --log-type
         # per tailed file for the same reason)
         ap.error("--stateful-assembly requires --stop=NEVER and an explicit --log-type")
+    if args.stateful_flush_ms is not None and not args.stateful_assembly:
+        ap.error("--stateful-flush-ms requires --stateful-assembly")
+    if args.stateful_flush_ms is not None and args.stateful_flush_ms <= 0:
+        ap.error("--stateful-flush-ms must be a positive integer")
     return args
 
 
@@ -215,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
                 log_type=args.log_type,
                 cfg=cfg,
                 eof_wait_ms=trigger_ms,
+                flush_after_ms=args.stateful_flush_ms,
             )
         else:
             q = start_pipeline_stream(

@@ -107,6 +107,12 @@ def knn_bruteforce(
         .withColumn(
             "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
         )
+        # zero-norm vectors score NULL (non-ANSI x/0) and NaN-poisoned ones
+        # NaN; drop both BEFORE either ranking path -- the window's
+        # cos_sim DESC puts NULL last / NaN first while the partial
+        # reduction's ascending -cos_sim sorts NULL first / NaN last, so
+        # partial_topk True/False would disagree on degenerate inputs
+        .filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
     )
     if partial_topk:
         scored = _partial_topk(scored, k)

@@ -136,7 +136,12 @@ def send_with_failover(
                     counts["tcp"] += 1
                     sent = True
                 except Exception:  # noqa: BLE001
-                    tcp = None
+                    if tcp is not None:  # close the dead socket, don't leak it
+                        try:
+                            tcp.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                        tcp = None
             if not sent and http is not None:
                 try:
                     http.send(msg)

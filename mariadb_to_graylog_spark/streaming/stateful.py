@@ -173,7 +173,19 @@ def make_assembler(mode: str = "intended", flush_after_ms: int = 1000):
             st = state.get
             if st[10]:  # open entry exists -> EOF-equivalent flush
                 out.append(_entry_row(conv_id, st[0] + 1, st, mode))
-            state.remove()
+                # keep a counter-only row (no timeout re-arm) so a
+                # conversation that resumes after the flush CONTINUES its
+                # entry_id sequence -- state.remove() would restart ids at
+                # 1 and mint duplicate (conv_id, entry_id) keys.  Cost: one
+                # ~100-byte state row per flushed conversation, the price
+                # of key uniqueness.
+                state.update(
+                    (st[0] + 1, None, None, None, None, None, None, None,
+                     None, None, [])
+                )
+            else:
+                # already counter-only: nothing new since the last flush
+                state.update(st)
             if out:
                 yield pd.DataFrame(out, columns=_OUT_COLS)
             return
@@ -188,9 +200,14 @@ def make_assembler(mode: str = "intended", flush_after_ms: int = 1000):
         for r in rows:
             p = _parse_error_line(r.text)
             if p["is_entry_start"]:
-                if st is not None and st[10]:
+                # counter-only state (post-timeout-flush) has st[10] == []:
+                # its st[0] already counts the flushed entry, so no +1
+                flushed_here = st is not None and bool(st[10])
+                if flushed_here:
                     out.append(_entry_row(conv_id, st[0] + 1, st, mode))
-                n_emitted = (st[0] + 1) if st is not None else 0
+                n_emitted = (
+                    st[0] + (1 if flushed_here else 0) if st is not None else 0
+                )
                 ts_us = (
                     int(r.ts.value // 1000) if isinstance(r.ts, pd.Timestamp) else None
                 )
@@ -365,7 +382,18 @@ def make_slow_assembler(emit_trailing: bool = False, flush_after_ms: int = 1000)
             st = _from_tuple(state.get)
             if emit_trailing and st["open"] and st["sql_count"] >= 1:
                 out.append(_slow_entry_row(conv_id, st))
-            state.remove()
+            # keep the FSM registers (prev_type, entry_count) in a
+            # buffers-cleared row instead of state.remove(): a conversation
+            # that resumes after the flush continues its entry_id sequence
+            # (no duplicate (conv_id, entry_id) keys) and the classifier
+            # position survives the quiet period.  No timeout re-arm --
+            # the row is ~100 bytes, the price of key uniqueness.
+            st.update(
+                open=False, start_turn=None, ts_us=None, role=None,
+                tool=None, sql_count=0, kept_lines=[], set_ts=None,
+                time_ts=None, meta_lines=[],
+            )
+            state.update(_to_tuple(st))
             if out:
                 yield pd.DataFrame(out, columns=_SLOW_COLS)
             return

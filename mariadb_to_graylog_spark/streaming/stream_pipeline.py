@@ -104,7 +104,7 @@ def start_stateful_pipeline_stream(
     log_type: str,
     cfg: PipelineConfig | None = None,
     eof_wait_ms: int = 1000,
-    flush_after_ms: int = 1000,
+    flush_after_ms: int | None = None,
 ) -> StreamingQuery:
     """CROSS-BATCH streaming pipeline: stateful entry assembly
     (streaming/stateful.py) -> the same enrich + route column expressions
@@ -114,7 +114,14 @@ def start_stateful_pipeline_stream(
     ``log_type`` must be explicit (ERROR or SLOW): dialect auto-detection
     needs whole-conversation knowledge that a cross-batch stream cannot
     have -- exactly why the reference takes --log-type per tailed file.
+
+    ``flush_after_ms`` (trailing-entry flush timeout) defaults to 4x the
+    trigger interval, never below 1s: a fixed default would sit BELOW a
+    slow trigger (e.g. --message-wait 5000), timing out every conversation
+    that merely skipped one micro-batch and splitting its open entry.
     """
+    if flush_after_ms is None:
+        flush_after_ms = max(4 * eof_wait_ms, 1000)
     from mariadb_to_graylog_spark.operators.routing import route
     from mariadb_to_graylog_spark.plans.pipeline import (
         enrich,

@@ -97,6 +97,21 @@ def test_stateful_assembly_validation():
          "--stop", "NEVER", "--checkpoint", "/c", "--log-type", "ERROR"]
     )
     assert a.stateful_assembly and a.log_type == "ERROR"
+    assert a.stateful_flush_ms is None  # default: 4x trigger, in the stream
+
+
+def test_stateful_flush_ms_validation():
+    base = ["--input", "/in", "--output", "/out"]
+    stateful = base + ["--stateful-assembly", "--stop", "NEVER",
+                       "--checkpoint", "/c", "--log-type", "ERROR"]
+    with pytest.raises(SystemExit) as e:  # requires --stateful-assembly
+        parse_args(base + ["--stateful-flush-ms", "5000"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:  # must be positive
+        parse_args(stateful + ["--stateful-flush-ms", "0"])
+    assert e.value.code == 2
+    a = parse_args(stateful + ["--stateful-flush-ms", "5000"])
+    assert a.stateful_flush_ms == 5000
 
 
 def test_eventlog_validation():

@@ -271,3 +271,56 @@ def test_cross_batch_assembly_equals_batch(spark, tmp_path, mode):
     assert len(got) == len(expected) == 4
     for g, e in zip(got, expected):
         assert g == e, (g, e)
+
+
+def test_entry_ids_continue_after_timeout_flush(spark, tmp_path):
+    """A conversation that resumes AFTER its trailing entry was
+    timeout-flushed continues the entry_id sequence (counter-only state row
+    survives the flush); state.remove() would restart ids at 1 and mint
+    duplicate (conv_id, entry_id) keys."""
+    from mariadb_to_graylog_spark.datagen import TRANSCRIPT_SCHEMA
+
+    src = str(tmp_path / "src_resume")
+    _conv_df(spark, LINES[0:6]).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    entries = assemble_entries_stateful(stream, mode="intended", flush_after_ms=200)
+    q = (
+        entries.writeStream.format("memory")
+        .queryName("stateful_resume")
+        .outputMode("append")
+        .start()
+    )
+
+    def _wait_for(n):
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            if spark.sql("select count(*) from stateful_resume").first()[0] >= n:
+                return
+            time.sleep(1)
+        raise AssertionError(f"timed out waiting for {n} entries")
+
+    # entries 1-2 arrive with the batch; entry 3 (trailing open) only via
+    # the timeout flush
+    _wait_for(3)
+    time.sleep(2)  # let further timeout cycles run against counter-only state
+    _conv_df(spark, LINES[7:9], turn_offset=7).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _wait_for(4)
+    q.stop()
+
+    got = (
+        spark.sql("select entry_id, message from stateful_resume")
+        .orderBy("entry_id")
+        .collect()
+    )
+    assert [r.entry_id for r in got] == [1, 2, 3, 4]  # no duplicate keys
+    assert got[3].message == "last entry\ntrailing continuation"

@@ -404,6 +404,38 @@ def test_lsh_bucket_stats_and_cap(spark, docs):
     assert capped.count() <= uncapped.count()
 
 
+def test_knn_zero_norm_vectors_pruned_consistently(spark):
+    """Zero-norm embeddings score NaN cosine; both ranking paths must drop
+    them identically -- Spark sorts NaN largest, so before the fix the
+    partial reduction pruned NaN rows while the global window ranked them
+    FIRST, making partial_topk True/False disagree."""
+    from mariadb_to_graylog_spark.operators.similarity import knn_bruteforce
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero norm -> NaN vs everything
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        partial: sorted(
+            tuple(r)
+            for r in knn_bruteforce(
+                df, F.col("vec_id") < 2, k=3, partial_topk=partial
+            ).collect()
+        )
+        for partial in (True, False)
+    }
+    assert got[True] == got[False]
+    flat = [r for rs in got.values() for r in rs]
+    assert all(r[3] == r[3] for r in flat)  # no NaN cos_sim survives
+    assert not any(r[2] == 3 for r in flat)  # degenerate vector never ranked
+    # the zero-norm QUERY yields no rows rather than NaN-ranked garbage
+    assert knn_bruteforce(df, F.col("vec_id") == 3, k=3).count() == 0
+
+
 def test_knn_self_consistency(spark, embeds):
     from mariadb_to_graylog_spark.operators.similarity import (
         cosine_topk_pandas,
