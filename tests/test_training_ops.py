@@ -467,23 +467,89 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
-def test_multimodal_stub_plumbing(spark, docs):
+def test_multimodal_real_codecs(spark, docs):
+    """attach_payload writes VALID containers; decode_media_meta parses
+    the bytes back.  WAV payloads are cross-checked with the stdlib
+    ``wave`` module (an independent reader) and PNG IDAT content with
+    zlib -- so generator and parser cannot share a hidden bug."""
+    import io
+    import wave
+    import zlib
+
     from mariadb_to_graylog_spark.operators.multimodal import (
         attach_payload,
-        decode_image_meta,
-        decode_image_real,
+        decode_media_meta,
+        decode_pixels_real,
         frame_sample,
     )
 
     media = attach_payload(docs.limit(30))
-    decoded = decode_image_meta(media)
-    rows = decoded.collect()
-    assert all(r.n_bytes == len(r.payload) for r in rows)
-    assert all(r.width == r.n_bytes % 64 + 16 for r in rows)
+    rows = {r.media_id: r for r in decode_media_meta(media).collect()}
+    assert len(rows) == 30
+    texts = {r.doc_id: r.text for r in docs.limit(30).collect()}
+    for mid, r in rows.items():
+        n_text = len((texts[mid] or "").encode("utf-8"))
+        assert r.n_bytes == len(r.payload)
+        if r.kind == "image":
+            # decoded-from-bytes == closed-form generation params
+            assert (r.width, r.height, r.channels) == (
+                n_text % 64 + 16, n_text % 48 + 12, 3
+            )
+            assert r.sample_rate is None and r.bits_per_sample is None
+            # the IDAT really is zlib of H scanlines of 1+3W bytes
+            assert len(zlib.decompress(bytes(r.payload)[41:-12])) == (
+                r.height * (1 + 3 * r.width)
+            )
+        elif r.kind == "audio":
+            with wave.open(io.BytesIO(bytes(r.payload))) as w:  # independent reader
+                assert w.getframerate() == r.sample_rate == 8000 + (n_text % 8) * 1000
+                assert w.getnchannels() == r.channels == 1 + mid % 2
+                assert w.getsampwidth() * 8 == r.bits_per_sample == 16
+                assert w.getnframes() == n_text % 32 + 1
+            assert r.width is None and r.height is None
+        else:
+            assert all(
+                v is None
+                for v in (r.width, r.height, r.channels, r.sample_rate,
+                          r.bits_per_sample)
+            )
     frames = frame_sample(media)
     assert frames.count() > 0
     with pytest.raises(NotImplementedError):
-        decode_image_real(media).collect()
+        decode_pixels_real(media).collect()
+
+
+def test_media_header_parsers_reject_malformed():
+    """Corrupt signatures/CRCs must yield None, not garbage fields."""
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        make_png,
+        make_wav,
+        parse_png_header,
+        parse_wav_header,
+    )
+
+    png = make_png(20, 14, pixel_byte=7)
+    assert parse_png_header(png) == (20, 14, 3)
+    assert parse_png_header(b"\x89PNG" + png[4:]) == (20, 14, 3)
+    assert parse_png_header(png[1:]) is None  # broken signature
+    corrupt = png[:20] + bytes([png[20] ^ 0xFF]) + png[21:]
+    assert parse_png_header(corrupt) is None  # IHDR CRC mismatch
+    assert parse_png_header(b"") is None
+
+    wav = make_wav(11000, 2, 5)
+    assert parse_wav_header(wav) == (11000, 2, 16)
+    # an extra chunk before fmt must be walked over, not tripped on
+    import struct as _s
+
+    padded = (
+        wav[:12] + b"LIST" + _s.pack("<I", 4) + b"INFO" + wav[12:]
+    )
+    fixed = (
+        b"RIFF" + _s.pack("<I", len(padded) - 8) + padded[8:]
+    )
+    assert parse_wav_header(fixed) == (11000, 2, 16)
+    assert parse_wav_header(wav[:11]) is None
+    assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
 def test_streaming_pipeline(spark, transcripts, tmp_path):
