@@ -360,10 +360,35 @@ def synth_slow_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 10000).cast("long"),
     )
     set_line = F.concat(F.lit("SET timestamp="), od_epoch.cast("string"), F.lit(";"))
-    sql_line = F.concat(
-        F.lit("SELECT * FROM orders WHERE o_orderkey = "),
-        F.col("o_orderkey").cast("string"),
-        F.lit(" AND o_orderpriority IN ('1-URGENT', '2-HIGH');"),
+    # three SQL shapes so the fingerprint rules are all exercised end-to-end:
+    # multi-row VALUES collapse (%7=0), ORDER BY ... ASC strip (%7=1),
+    # IN-list collapse (the rest)
+    sql_line = (
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(
+                F.lit("INSERT INTO audit (k, v) VALUES ("),
+                F.col("o_orderkey").cast("string"),
+                F.lit(", 'a'), ("),
+                (F.col("o_orderkey") + 1).cast("string"),
+                F.lit(", 'b');"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 1,
+            F.concat(
+                F.lit("SELECT * FROM orders WHERE o_custkey = "),
+                F.col("o_custkey").cast("string"),
+                F.lit(" ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 10;"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("SELECT * FROM orders WHERE o_orderkey = "),
+                F.col("o_orderkey").cast("string"),
+                F.lit(" AND o_orderpriority IN ('1-URGENT', '2-HIGH');"),
+            )
+        )
     )
     lines = F.when(
         has_use,
@@ -433,8 +458,16 @@ WITH o AS (
          CAST(printf('%.6f', (o_orderkey % 400) / 100.0) AS DOUBLE) AS query_time,
          CAST(o_orderkey % 50 AS BIGINT) AS rows_sent,
          CAST(o_orderkey % 10000 AS BIGINT) AS rows_examined,
-         'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey AS VARCHAR)
-           || ' AND o_orderpriority IN (''1-URGENT'', ''2-HIGH'');' AS sql_line
+         CASE WHEN o_orderkey % 7 = 0 THEN
+                'INSERT INTO audit (k, v) VALUES (' || CAST(o_orderkey AS VARCHAR)
+                  || ', ''a''), (' || CAST(o_orderkey + 1 AS VARCHAR) || ', ''b'');'
+              WHEN o_orderkey % 7 = 1 THEN
+                'SELECT * FROM orders WHERE o_custkey = ' || CAST(o_custkey AS VARCHAR)
+                  || ' ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 10;'
+              ELSE
+                'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey AS VARCHAR)
+                  || ' AND o_orderpriority IN (''1-URGENT'', ''2-HIGH'');'
+         END AS sql_line
   FROM orders
 ),
 e AS (

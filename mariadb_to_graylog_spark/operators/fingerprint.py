@@ -45,7 +45,17 @@ FINGERPRINT_RULES: list[tuple[str, str]] = [
     (r"\b\d+\.\d+\b", "?"),  # decimal literals
     (r"\b\d+\b", "?"),  # integer literals
     (r"\(\s*\?(?:\s*,\s*\?)+\s*\)", "(?+)"),  # IN-list collapse
+    # multi-row VALUES collapse: after the IN-list pass every value tuple
+    # is (?) or (?+), so a row list is a comma-joined tuple sequence
+    # (pt-fingerprint collapses multi-row VALUES lists to one)
+    (r"\(\?\+?\)(?:\s*,\s*\(\?\+?\))+", "(?+)"),
     (r"limit\s+\?(?:\s*,\s*\?|\s+offset\s+\?)?", "limit ?"),  # LIMIT n[,m] collapse
+    # ORDER BY ... ASC -> drop the redundant ASC (pt-fingerprint's
+    # documented ORDER BY rewrite).  Backreference-free deviation: 'asc'
+    # is a MySQL reserved word, so any bare-word occurrence in valid DML
+    # is a sort modifier -- a BACKQUOTED `asc` identifier would also be
+    # stripped here where pt keeps it (accepted, documented).
+    (r"\s+asc\b", ""),
     (r"\s+", " "),  # whitespace collapse (incl. newlines)
 ]
 

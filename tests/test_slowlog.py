@@ -264,6 +264,8 @@ def test_fingerprint_spark_equals_python(spark):
         "select count(*) from lineitem where l_quantity in (36, 12, 17)",
         "UPDATE customer SET c_acctbal = c_acctbal + 12.75 WHERE c_custkey = 7",
         'INSERT INTO t (a, b) VALUES (1, "two")',
+        "INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y'), (3, 'z')",
+        "SELECT a FROM t ORDER BY a ASC, b DESC, c ASC LIMIT 5",
         "SELECT 1",
         "  select\n  col   FROM t  WHERE x = 'it''s'  ",
     ]
@@ -314,6 +316,38 @@ def test_fingerprint_goldens_pt_breadth():
     # multiline comment spanning lines; quoted '--' NOT treated as comment
     assert (
         fingerprint_py("SELECT a /* x\n y */ FROM t WHERE s = '--not a comment'")
+        == "SELECT a from t where s = ?"
+    )
+
+
+def test_fingerprint_goldens_values_and_orderby():
+    """Round-3 pt rewrites: multi-row VALUES lists collapse to one (?+)
+    tuple; redundant ASC is dropped from ORDER BY keys (DESC kept)."""
+    assert (
+        fingerprint_py("INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+        == "INSERT into t (a, b) values (?+)"
+    )
+    # single-column rows are (?)-tuples, still one collapsed list
+    assert (
+        fingerprint_py("INSERT INTO t (a) VALUES (1), (2), (3)")
+        == "INSERT into t (a) values (?+)"
+    )
+    # a single VALUES tuple is untouched by the multi-row rule
+    assert (
+        fingerprint_py("INSERT INTO t (a, b) VALUES (1, 'x')")
+        == "INSERT into t (a, b) values (?+)"
+    )
+    assert (
+        fingerprint_py("SELECT a FROM t ORDER BY col ASC")
+        == "SELECT a from t order by col"
+    )
+    assert (
+        fingerprint_py("SELECT a FROM t ORDER BY a ASC, b DESC, c ASC LIMIT 5")
+        == "SELECT a from t order by a, b desc, c limit ?"
+    )
+    # 'asc' inside a string literal is already a ? by the time the rule runs
+    assert (
+        fingerprint_py("SELECT a FROM t WHERE s = 'asc'")
         == "SELECT a from t where s = ?"
     )
 
