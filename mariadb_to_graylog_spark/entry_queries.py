@@ -1554,6 +1554,80 @@ GROUP BY lang
 """
 
 
+def docs_with_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + prefix excerpts (first 120 chars) of every 7th doc --
+    true partial CONTAINMENT: the excerpt shares ~all of its own sketch
+    with its source but little of the source's (low whole-doc Jaccard)."""
+    d = _documents(spark, sf_dir)
+    ex = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(ex)
+
+
+_SQL_EXCERPTS = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, 1, 120), lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment pairs: excerpt docs must pair with their
+    sources at high overlap even where whole-doc Jaccard is low."""
+    d = docs_with_excerpts(spark, sf_dir)
+    return dd.winnow_overlap_pairs(d, window=8, select_every=4, min_overlap=0.5)
+
+
+# the winnow sketch, validated value-identical to the Spark fold
+# (list_reduce's first-element seed equals the 0-seed fold because every
+# ascii value is < the modulus; list_distinct reorders, which the explode
+# erases)
+ORACLE_WINNOW_OVERLAP = f"""
+WITH d AS ({_SQL_EXCERPTS}),
+s AS (
+  SELECT doc_id AS id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+rh AS (
+  SELECT id, list_transform(
+    range(1, greatest(length(s) - 7, 1) + 1),
+    i -> list_reduce(
+           list_transform(range(1, length(substr(s, CAST(i AS INT), 8)) + 1),
+                          j -> CAST(ascii(substr(substr(s, CAST(i AS INT), 8),
+                                                 CAST(j AS INT), 1)) AS BIGINT)),
+           (acc, x) -> (acc * 31 + x) % 1000003)
+  ) AS hs
+  FROM s WHERE length(s) > 0
+),
+sk AS (
+  SELECT id, list_distinct(list_transform(
+           range(0, CAST((len(hs) - 1) / 4 AS INT) + 1),
+           k -> list_min(list_slice(hs, CAST(k AS INT) * 4 + 1, CAST(k AS INT) * 4 + 4))
+         )) AS sketch
+  FROM rh
+),
+e AS (SELECT id, len(sketch) AS sz, unnest(sketch) AS h FROM sk),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         COUNT(*) AS shared
+  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(shared AS BIGINT) AS shared,
+       round(CAST(shared AS DOUBLE) / least(sz_a, sz_b), 6) AS overlap
+FROM p
+WHERE round(CAST(shared AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.5
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof of the REAL stdlib media codecs: attach_payload
     writes fully valid PNG/WAV byte streams whose header parameters are
@@ -1616,6 +1690,7 @@ TRAINING_QUERIES = {
     "pii_redact": q_pii_redact,
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
+    "winnow_overlap": q_winnow_overlap,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1642,6 +1717,7 @@ TRAINING_ORACLES = {
     "pii_redact": ORACLE_PII_REDACT,
     "sample_det": ORACLE_SAMPLE_DET,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

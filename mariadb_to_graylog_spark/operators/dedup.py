@@ -487,3 +487,69 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    select_every: int = 4,
+    min_overlap: float = 0.5,
+    max_hash_df: int | None = None,
+) -> DataFrame:
+    """Containment/overlap candidate pairs from winnowing sketches
+    (textstats.winnow_fingerprint): explode each document's selected
+    rolling-hash sketch, bucket-join on the hash, count shared hashes per
+    pair, and score ``overlap = shared / min(|sketch_a|, |sketch_b|)``.
+
+    The min-denominator makes this a CONTAINMENT score: a short document
+    pasted into a long one shares most of the short side's sketch, so the
+    pair scores high even though whole-doc Jaccard (union denominator)
+    would bury it.  This is the overlap analogue of the LSH candidate
+    paths and shares their scale shape -- the join is keyed on the hash
+    (signatures move, never text), AQE reuses the exploded exchange for
+    both self-join sides, and no pair is formed outside a shared bucket.
+
+    ``max_hash_df`` optionally drops hashes appearing in more than that
+    many documents (boilerplate windows crowd buckets into B^2 pair
+    blowups).  Dropped hashes can only LOWER shared counts -- recall-safe
+    for containment of distinctive content, lossy for docs made entirely
+    of boilerplate; the denominator stays the full sketch size, so the
+    score never inflates.  Empty-after-normalization docs carry no
+    content to overlap and are excluded.
+    """
+    from mariadb_to_graylog_spark.operators.textstats import (
+        normalize_text,
+        winnow_fingerprint,
+    )
+
+    sk = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        winnow_fingerprint(F.col(text_col), window, select_every).alias("sketch"),
+    ).filter(F.length(normalize_text(F.col(text_col))) > 0)
+    ex = sk.select(
+        "id", F.size("sketch").alias("sz"), F.explode("sketch").alias("h")
+    )
+    if max_hash_df is not None:
+        crowded = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_hash_df)
+            .select("h")
+        )
+        ex = ex.join(F.broadcast(crowded), "h", "left_anti")
+    a = ex.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    overlap = F.col("shared").cast("double") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        shared.withColumn("overlap", F.round(overlap, 6))
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"), "overlap")
+    )

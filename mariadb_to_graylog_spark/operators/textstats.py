@@ -95,8 +95,9 @@ def doc_fingerprint(c: Column) -> Column:
 def rolling_hash_shingles(c: Column, window: int = 8, base: int = 31, mod: int = 1_000_003) -> Column:
     """Rabin-Karp-style rolling hashes of character windows (document
     fingerprinting / winnowing building block).  Expressed as a
-    higher-order fold per window -- no Python.  (No oracle twin: DuckDB
-    lambdas can't nest the same fold cheaply; covered by unit tests.)"""
+    higher-order fold per window -- no Python.  DuckDB twin: nested
+    list_transform/list_reduce in ORACLE_WINNOW_OVERLAP (list_reduce's
+    first-element seed equals this 0-seed fold because ascii < modulus)."""
     s = normalize_text(c)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(s) - (window - 1), F.lit(1))),

@@ -467,6 +467,56 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_winnow_overlap_catches_containment(spark):
+    """A short doc pasted inside a long one: whole-doc Jaccard is low but
+    winnow containment (shared / min sketch) is high; unrelated docs score
+    no pair.  max_hash_df drops boilerplate hashes without inflating any
+    score."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnow_overlap_pairs,
+    )
+
+    excerpt = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = (
+        "completely different narrative material about distributed query "
+        "engines shuffling partitioned columnar batches across executor "
+        "boundaries while adaptive planning rewrites join strategies "
+    ) * 3
+    rows = [
+        (1, filler + " " + excerpt + " " + filler),
+        (2, excerpt),
+        (3, "unrelated third document mentioning absolutely nothing shared"),
+        (4, ""),  # empty after normalization: excluded, never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.id_a, r.id_b): r.overlap
+        for r in winnow_overlap_pairs(df, min_overlap=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert all(p == (1, 2) for p in pairs)
+    # whole-doc Jaccard misses the same pair at the same threshold
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df.filter("doc_id < 4"), threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+
+    # capping hash document-frequency can only lower scores, never raise
+    uncapped = {
+        (r.id_a, r.id_b): r.overlap
+        for r in winnow_overlap_pairs(df, min_overlap=0.0).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.overlap
+        for r in winnow_overlap_pairs(df, min_overlap=0.0, max_hash_df=1).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert all(capped[p] <= uncapped[p] for p in capped)
+
+
 def test_multimodal_real_codecs(spark, docs):
     """attach_payload writes VALID containers; decode_media_meta parses
     the bytes back.  WAV payloads are cross-checked with the stdlib
