@@ -45,6 +45,26 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     return spark.read.parquet(path_or_table)
 
 
+def write_transcripts(
+    df: DataFrame, path_or_table: str, mode: str = "append"
+) -> None:
+    """Write the transcripts table (Iceberg table name or parquet path) --
+    the inverse of read_transcripts, same gating.  Contract pinned by
+    tests/test_iceberg.py (skipped until an Iceberg jar is on the
+    classpath)."""
+    if "/" not in path_or_table and iceberg_available(df.sparkSession):
+        writer = df.writeTo(path_or_table).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:  # append; create the table on first write
+            try:
+                writer.append()
+            except Exception:
+                writer.create()
+        return
+    df.write.mode(mode).parquet(path_or_table)
+
+
 def new_run_id() -> str:
     return uuid.uuid4().hex
 
