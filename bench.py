@@ -132,8 +132,10 @@ QUERY_NAMES = [
     "entry_islands",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_groups",
     "simhash_banded",
     "embed_neardup_lsh",
+    "winnow_overlap",
     "dedup_exact",
     "knn_bruteforce",
     "knn_ivf_trained",
@@ -148,6 +150,13 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--n-convs", type=int, default=None)
     ap.add_argument("--job", choices=["full", "pipeline"], default="full")
+    ap.add_argument(
+        "--trials",
+        type=int,
+        default=3,
+        help="timed trials per query, BEST kept (this host's co-tenant "
+        "drift reaches 3-4x between runs; single-trial deltas are noise)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument(
@@ -169,6 +178,9 @@ def main() -> int:
     run_pipeline_job(spark, warm)  # codegen + JIT warmup, steady-state measure
 
     pipe_sec, n_turns, detail = run_pipeline_job(spark, tpath)
+    for _ in range(max(0, args.trials - 1) if args.job == "full" else 0):
+        s, _, _ = run_pipeline_job(spark, tpath)
+        pipe_sec = min(pipe_sec, s)
 
     if args.job == "pipeline":
         extra = {}
@@ -200,11 +212,15 @@ def main() -> int:
             fn = eq.ALL_QUERIES[name]
             # full-plan warmup run (limit(1) compiles a DIFFERENT plan and
             # leaves the real one cold: observed 3-4x first-run noise);
-            # the timed run is steady-state like the pipeline measurement
+            # then BEST of --trials steady-state runs (co-tenant drift)
             fn(spark, args.sf_dir).count()
-            t0 = time.perf_counter()
-            query_rows[name] = fn(spark, args.sf_dir).count()
-            queries[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(max(1, args.trials)):
+                t0 = time.perf_counter()
+                query_rows[name] = fn(spark, args.sf_dir).count()
+                sec = time.perf_counter() - t0
+                best = sec if best is None else min(best, sec)
+            queries[name] = round(best, 3)
 
     extras: dict[str, float] = {}
     if not args.skip_queries:
@@ -238,6 +254,7 @@ def main() -> int:
                 "turns_per_sec": round(n_turns / pipe_sec, 1),
                 "n_routed": detail["n_routed"],
                 "query_rows": query_rows,
+                "trials": max(1, args.trials),
                 **extras,
             }
         )
