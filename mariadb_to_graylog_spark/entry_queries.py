@@ -1628,6 +1628,44 @@ WHERE round(CAST(shared AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.5
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 13th document plays the leaked
+    eval set; any document sharing a 13-word window with it is flagged.
+    Eval gram-hash set broadcasts; documents never move."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination(d, eval_df, n=13)
+
+
+ORACLE_DECONTAMINATE = """
+WITH s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 12, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 12),
+           ' ')), 1, 8) AS BIGINT)
+  )) AS grams
+  FROM s
+),
+ev AS (SELECT DISTINCT unnest(grams) AS h FROM g WHERE doc_id % 13 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS h FROM g),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n_hits
+  FROM dg JOIN ev USING (h) GROUP BY dg.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof of the REAL stdlib media codecs: attach_payload
     writes fully valid PNG/WAV byte streams whose header parameters are
@@ -1691,6 +1729,7 @@ TRAINING_QUERIES = {
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "winnow_overlap": q_winnow_overlap,
+    "decontaminate": q_decontaminate,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1718,6 +1757,7 @@ TRAINING_ORACLES = {
     "sample_det": ORACLE_SAMPLE_DET,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

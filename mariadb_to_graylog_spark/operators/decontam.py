@@ -1,0 +1,82 @@
+"""Benchmark decontamination: flag training documents that share any
+word n-gram (default 13, the common eval-decontamination window) with a
+reference/eval set.
+
+Scale shape: the eval set is small by definition (thousands of items vs
+10^9+ documents), so its distinct gram-hash set BROADCASTS; each document
+computes its gram hashes map-side (higher-order functions over the token
+array, no Python) and probes the broadcast -- the only shuffle is the
+final per-document hit count, which is partial-aggregated map-side.
+Documents and eval items never move; 8-byte gram hashes do.
+
+Grams are hashed with the portable md5-derived h32 (operators/dedup.py),
+so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mariadb_to_graylog_spark.operators.dedup import h32
+from mariadb_to_graylog_spark.operators.textstats import _bind, normalize_text
+
+
+def word_ngram_hashes(c: Column, n: int = 13) -> Column:
+    """Distinct h32 hashes of all n-word windows (space-joined) of the
+    normalized text.  Documents shorter than n words have no window and
+    return an empty array -- they cannot be flagged, matching the
+    standard decontamination definition (an eval item can only leak
+    verbatim if the document can contain it)."""
+
+    def _grams(toks: Column) -> Column:
+        cnt = F.size(toks) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: h32(F.array_join(F.slice(toks, i, n), " ")),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    # bind the token array once (HOFs are interpreted without CSE; see
+    # textstats._bind)
+    return _bind(F.split(normalize_text(c), " "), _grams)
+
+
+def contamination(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every document: n_hits = how many
+    of the document's distinct n-grams appear anywhere in the eval set.
+
+    Use ``docs.filter(~contaminated)``-style joins downstream to drop
+    flagged documents before training."""
+    eval_grams = (
+        eval_df.select(F.explode(word_ngram_hashes(F.col(eval_text_col), n)).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # explode_outer keeps gram-less (short/empty) documents as a null-h
+    # row, so ONE groupBy emits every document -- no join-back of a hits
+    # relation onto the doc list (that join is a doc_id shuffle the
+    # aggregation already pays for)
+    doc_grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "doc_id", "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+        )
+    )

@@ -467,6 +467,36 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_decontamination_flags_leaked_eval_items(spark):
+    """A document containing an eval item verbatim (13-word window) is
+    flagged; paraphrases and short documents are not; the probe join is a
+    broadcast, not a shuffle."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+
+    eval_item = (
+        "what is the capital of the ancient kingdom that bordered "
+        "the western sea before the long winter"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"some preamble text here {eval_item} and a trailing answer"),
+            (2, "a paraphrase about the capital of an ancient kingdom near "
+                "a western sea before some long winter season"),
+            (3, "too short to contain it"),
+            (4, eval_item),  # exact leak, no padding
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(eval_item,)], "text string")
+    out = contamination(docs, ev, n=13)
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in out.collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[4] == (5, True)  # 17 words -> 5 distinct 13-windows
+    assert got[2] == (0, False) and got[3] == (0, False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_winnow_overlap_catches_containment(spark):
     """A short doc pasted inside a long one: whole-doc Jaccard is low but
     winnow containment (shared / min sketch) is high; unrelated docs score
