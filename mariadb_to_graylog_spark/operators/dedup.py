@@ -497,11 +497,17 @@ def winnow_overlap_pairs(
     select_every: int = 4,
     min_overlap: float = 0.5,
     max_hash_df: int | None = None,
+    use_pandas: bool = True,
 ) -> DataFrame:
     """Containment/overlap candidate pairs from winnowing sketches
     (textstats.winnow_fingerprint): explode each document's selected
     rolling-hash sketch, bucket-join on the hash, count shared hashes per
     pair, and score ``overlap = shared / min(|sketch_a|, |sketch_b|)``.
+
+    ``use_pandas`` (default) computes the sketch with the Arrow-batched
+    numpy twin (~10x the interpreted-HOF fold's throughput, identical
+    integers -- tested equal and oracle-checked); False keeps the pure
+    JVM-expression path.
 
     The min-denominator makes this a CONTAINMENT score: a short document
     pasted into a long one shares most of the short side's sketch, so the
@@ -522,11 +528,16 @@ def winnow_overlap_pairs(
     from mariadb_to_graylog_spark.operators.textstats import (
         normalize_text,
         winnow_fingerprint,
+        winnow_fingerprint_pandas,
     )
 
+    if use_pandas:
+        sketch = winnow_fingerprint_pandas(window, select_every)(F.col(text_col))
+    else:
+        sketch = winnow_fingerprint(F.col(text_col), window, select_every)
     sk = df.select(
         F.col(id_col).cast("long").alias("id"),
-        winnow_fingerprint(F.col(text_col), window, select_every).alias("sketch"),
+        sketch.alias("sketch"),
     ).filter(F.length(normalize_text(F.col(text_col))) > 0)
     ex = sk.select(
         "id", F.size("sketch").alias("sz"), F.explode("sketch").alias("h")

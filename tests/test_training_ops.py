@@ -467,6 +467,33 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_winnow_pandas_twin_equals_hof(spark):
+    """The Arrow/numpy sketch must equal the JVM HOF fold integer-for-
+    integer on edge strings: unicode codepoints, whitespace runs, empty,
+    shorter-than-window, exact-window, long."""
+    from mariadb_to_graylog_spark.operators.textstats import (
+        winnow_fingerprint,
+        winnow_fingerprint_pandas,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "café naïve résumé — unicode codepoints",
+        "  leading   and\ttrailing\n whitespace  ",
+        "", "a", "abcdefg", "abcdefgh", "abcdefghi",
+        "repeat " * 100,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    hof = {r.id: r.sk for r in df.select("id", winnow_fingerprint(F.col("t")).alias("sk")).collect()}
+    pdu = {
+        r.id: r.sk
+        for r in df.select(
+            "id", winnow_fingerprint_pandas()(F.col("t")).alias("sk")
+        ).collect()
+    }
+    assert pdu == hof
+
+
 def test_decontamination_flags_leaked_eval_items(spark):
     """A document containing an eval item verbatim (13-word window) is
     flagged; paraphrases and short documents are not; the probe join is a
