@@ -94,3 +94,22 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
     routed = build_routed(transcripts)
     n = routed.count()
     assert n > 0
+
+@pytest.mark.parametrize(
+    "qname",
+    ["decontaminate", "winnow_overlap", "dedup_groups", "multimodal_meta"],
+)
+def test_training_queries_ansi_parity(spark, qname):
+    """Round-3 training operators must return IDENTICAL rows with ANSI on
+    and off (slice/element_at/cast edges are where ANSI bites)."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    fn = eq.ALL_QUERIES[qname]
+    off = sorted(tuple(r) for r in fn(spark, sf).collect())
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        on = sorted(tuple(r) for r in fn(spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert on == off and len(off) > 0
