@@ -1666,6 +1666,107 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed product flow a training-data team actually runs:
+    exact dedup (keep min-id per identical text) -> quality gate
+    (score >= 0.5) -> benchmark decontamination (drop docs sharing a
+    13-word window with the eval set) -> stratified per-language sampling
+    -> per-language accounting.  Every stage is an existing operator;
+    the oracle re-derives the whole chain in SQL, so the COMPOSITION is
+    checked, not just the parts."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+
+    d = docs_with_exact_dups(spark, sf_dir)
+    deduped, _ = dd.exact_dedup(d)
+    q = deduped.withColumn("quality", tx.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.5
+    )
+    eval_df = _documents(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
+    bad = contamination(q, eval_df, n=13).filter("contaminated").select("doc_id")
+    clean = q.join(F.broadcast(bad), "doc_id", "left_anti")
+    kept = clean.filter(
+        tx.stratified_sample_filter(
+            F.col("doc_id"), F.col("lang"), _STRATA_RATES, salt="cur"
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+ORACLE_CURATION_PIPELINE = """
+WITH d AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+),
+dd AS (
+  SELECT d.* FROM d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM d GROUP BY md5(text)) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keep_id
+),
+qs AS (
+  SELECT *, round(least(n_tok / 100.0, 1.0) * 0.5
+               + (n_stop / greatest(n_tok, 1.0)) * 0.3
+               + (1.0 - least(n_punct / greatest(n_tok, 1.0), 1.0)) * 0.2, 6)
+            AS quality
+  FROM (
+    SELECT dd.*,
+           CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) AS n_tok,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in)\\b', 1)) AS DOUBLE) AS n_stop,
+           CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE) AS n_punct
+    FROM dd
+  )
+),
+q AS (SELECT * FROM qs WHERE quality >= 0.5),
+norm AS (
+  SELECT doc_id, lang, quality,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM q
+),
+qg AS (
+  SELECT doc_id, lang, quality, list_distinct(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 12, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 12),
+           ' ')), 1, 8) AS BIGINT)
+  )) AS grams
+  FROM norm
+),
+evn AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents WHERE doc_id % 13 = 0
+),
+ev AS (
+  SELECT DISTINCT unnest(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 12, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 12),
+           ' ')), 1, 8) AS BIGINT)
+  )) AS h
+  FROM evn
+),
+bad AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS h FROM qg) g JOIN ev USING (h)
+),
+kept AS (
+  SELECT qg.doc_id, qg.lang, qg.quality
+  FROM qg
+  WHERE qg.doc_id NOT IN (SELECT doc_id FROM bad)
+    AND CAST('0x' || substr(md5(CAST(qg.doc_id AS VARCHAR) || 'cur'), 1, 8) AS BIGINT) % 100
+        < CASE qg.lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 0 END
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       round(AVG(quality), 6) AS avg_quality
+FROM kept GROUP BY lang
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip proof of the REAL stdlib media codecs: attach_payload
     writes fully valid PNG/WAV byte streams whose header parameters are
@@ -1730,6 +1831,7 @@ TRAINING_QUERIES = {
     "sample_stratified": q_sample_stratified,
     "winnow_overlap": q_winnow_overlap,
     "decontaminate": q_decontaminate,
+    "curation_pipeline": q_curation_pipeline,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1758,6 +1860,7 @@ TRAINING_ORACLES = {
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

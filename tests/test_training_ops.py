@@ -467,6 +467,34 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_curation_pipeline_every_gate_fires(spark):
+    """The composed curation flow must be non-vacuous at sf0.001: each
+    stage removes rows (dedup kills the planted copies, the quality gate
+    rejects, decontamination flags >=1 doc, sampling subsets) -- a
+    threshold that filters nothing would let the oracle pass emptily."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+    from mariadb_to_graylog_spark.operators import dedup as dd, textstats as tx
+
+    sf = "/root/testdata/sf0.001"
+    d = eq.docs_with_exact_dups(spark, sf)
+    n_total = d.count()
+    deduped, _ = dd.exact_dedup(d)
+    n_dedup = deduped.count()
+    q = deduped.filter(tx.quality_score(F.col("text")) >= 0.5)
+    n_quality = q.count()
+    ev = eq._documents(spark, sf).filter(F.col("doc_id") % 13 == 0)
+    n_bad = contamination(q, ev, n=13).filter("contaminated").count()
+    kept = (
+        eq.ALL_QUERIES["curation_pipeline"](spark, sf)
+        .agg(F.sum("n_kept"))
+        .first()[0]
+    )
+    assert n_total > n_dedup > n_quality > 0
+    assert n_bad >= 1
+    assert 0 < kept < n_quality - n_bad
+
+
 def test_winnow_pandas_twin_equals_hof(spark):
     """The Arrow/numpy sketch must equal the JVM HOF fold integer-for-
     integer on edge strings: unicode codepoints, whitespace runs, empty,
