@@ -855,6 +855,38 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM cand
 ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle_sql()
 
 
+def q_dedup_lsh_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only scoring twin of dedup_lsh_verified: MinHash collision
+    fraction instead of exact Jaccard -- no pass over shingle arrays
+    after banding."""
+    d = docs_with_near_dups(spark, sf_dir)
+    return dd.minhash_jaccard_estimate(
+        d, shingle_n=4, bands=4, rows_per_band=8, threshold=0.5
+    )
+
+
+def _minhash_estimate_oracle_sql(
+    bands: int = 4, rows_per_band: int = 8, shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    k = bands * rows_per_band
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    return (
+        _minhash_cand_ctes(bands, rows_per_band, shingle_n)
+        + f"""
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       round(({matches}) / {k}.0, 6) AS est_jaccard
+FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
+WHERE round(({matches}) / {k}.0, 6) >= {threshold}
+"""
+    )
+
+
+ORACLE_DEDUP_LSH_ESTIMATE = _minhash_estimate_oracle_sql()
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default scale-safe near-dup path: LSH candidates -> exact 3-gram
     Jaccard verified on candidates only (no block-quadratic join)."""
@@ -1683,7 +1715,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_df = _documents(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
     bad = contamination(q, eval_df, n=13).filter("contaminated").select("doc_id")
-    clean = q.join(F.broadcast(bad), "doc_id", "left_anti")
+    # no forced broadcast: the flagged set is usually tiny (AQE converts
+    # to broadcast at runtime) but is corpus-dependent -- an adversarial
+    # corpus could flag everything, and a forced broadcast would OOM
+    clean = q.join(bad, "doc_id", "left_anti")
     kept = clean.filter(
         tx.stratified_sample_filter(
             F.col("doc_id"), F.col("lang"), _STRATA_RATES, salt="cur"
@@ -1811,6 +1846,7 @@ TRAINING_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_lsh_estimate": q_dedup_lsh_estimate,
     "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -1840,6 +1876,7 @@ TRAINING_ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
+    "dedup_lsh_estimate": ORACLE_DEDUP_LSH_ESTIMATE,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,

@@ -232,6 +232,57 @@ def lsh_bucket_stats(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Sketch-only near-dup scoring: LSH candidates scored by the MinHash
+    collision fraction -- an unbiased estimator of Jaccard with stderr
+    sqrt(J(1-J)/k), k = bands*rows_per_band.
+
+    The 100 TB fast path when ~1/sqrt(k) error is acceptable: after
+    banding, NO second pass touches shingle arrays or text -- only
+    (id, k longs) signature rows move to meet the candidates.
+    ``lsh_jaccard_verified`` is the exact twin (same candidates, exact
+    n-gram Jaccard); use it when the score gates deletion."""
+    k = bands * rows_per_band
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n, k)
+    sig_arr = sigs.select(
+        "id", F.array(*[F.col(f"mh_{j}") for j in range(k)]).alias("_sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").alias(f"s{r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.posexplode(band_structs).alias("band", "sig"))
+    cand = _bucket_pairs(buckets, ["band", "sig"], max_bucket_size)
+    a = sig_arr.select(F.col("id").alias("id_a"), F.col("_sig").alias("_sa"))
+    b = sig_arr.select(F.col("id").alias("id_b"), F.col("_sig").alias("_sb"))
+    matches = F.size(
+        F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def lsh_jaccard_verified(
     df: DataFrame,
     id_col: str = "doc_id",

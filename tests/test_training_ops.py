@@ -467,6 +467,44 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The k=32 collision-fraction estimator must track exact 4-gram
+    Jaccard on the planted near-dups: exact duplicates estimate 1.0, and
+    the mean |est - exact| over shared pairs stays well inside the
+    sqrt(J(1-J)/k) ~ 0.09 stderr band."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_jaccard_verified,
+        minhash_jaccard_estimate,
+    )
+
+    base = [(i, f"document number {i} about spark columnar shuffle topic {i % 7}")
+            for i in range(40)]
+    rows = base + [(i + 1000, t) for i, t in base[:10]]  # exact copies
+    rows += [(i + 2000, t + " tail") for i, t in base[10:20]]  # near copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_jaccard_estimate(
+            df, shingle_n=4, bands=4, rows_per_band=8, threshold=0.0
+        ).collect()
+    }
+    # exact-duplicate pairs estimate exactly 1.0
+    for i in range(10):
+        assert est[(i, i + 1000)] == 1.0
+    # same candidates, exact Jaccard (4-gram, to match the sketch's shingles)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in lsh_jaccard_verified(
+            df, shingle_n=4, bands=4, rows_per_band=8, n=4, threshold=0.0
+        ).collect()
+    }
+    shared = set(est) & set(exact)
+    assert len(shared) >= 20
+    mae = sum(abs(est[p] - exact[p]) for p in shared) / len(shared)
+    assert mae < 0.12, mae
+
+
 def test_curation_pipeline_every_gate_fires(spark):
     """The composed curation flow must be non-vacuous at sf0.001: each
     stage removes rows (dedup kills the planted copies, the quality gate
