@@ -155,48 +155,60 @@ def winnow_fingerprint(c: Column, window: int = 8, select_every: int = 4) -> Col
     return _bind(rolling_hash_shingles(c, window), _winnow)
 
 
+_WS_ASCII = None  # lazily-compiled \s+ with re.ASCII (matches Java's default)
+
+
+def winnow_sketch_py(
+    text: str | None, window: int = 8, select_every: int = 4,
+    base: int = 31, mod: int = 1_000_003,
+) -> list[int]:
+    """Pure-Python/numpy winnow sketch -- the per-string kernel of
+    winnow_fingerprint_pandas, exposed for property tests and driver-side
+    tooling.  Identical integers to the JVM HOF fold (same normalize ->
+    codepoint -> rolling fold -> stride-min -> stable distinct)."""
+    global _WS_ASCII
+    import re as _re
+
+    import numpy as np
+
+    if _WS_ASCII is None:
+        _WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+    s = _WS_ASCII.sub(" ", (text or "").lower()).strip()
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = codes.size
+    if n == 0:
+        h = np.zeros(1, dtype=np.int64)  # ascii('') folds to 0
+    else:
+        npos = max(n - window + 1, 1)
+        h = np.zeros(npos, dtype=np.int64)
+        for j in range(min(window, n)):
+            h = (h * base + codes[j : j + npos]) % mod
+    k = (h.size + select_every - 1) // select_every
+    hp = np.concatenate(
+        [h, np.full(k * select_every - h.size, np.iinfo(np.int64).max)]
+    )
+    mins = hp.reshape(k, select_every).min(axis=1)
+    return list(dict.fromkeys(mins.tolist()))  # stable distinct
+
+
 def winnow_fingerprint_pandas(window: int = 8, select_every: int = 4):
-    """Arrow-batched numpy twin of winnow_fingerprint: identical integers
-    (same normalize -> codepoint -> rolling fold -> stride-min -> stable
-    distinct), ~10x the throughput of the interpreted HOF fold -- the
-    rolling hash is w numpy ops over all window positions at once instead
-    of len*w interpreted lambda steps per document.
+    """Arrow-batched numpy twin of winnow_fingerprint: identical integers,
+    ~10x the throughput of the interpreted HOF fold -- the rolling hash is
+    w numpy ops over all window positions at once instead of len*w
+    interpreted lambda steps per document.
 
     Portability caveats (why the HOF version remains the oracle
     reference): Python ``str.lower`` and Java ``toLowerCase`` disagree on
     a few exotic codepoints (Turkish dotted I, final sigma), and ``\\s``
     is ASCII-pinned here to match Java's default.  Equality is asserted in
-    tests on mixed-unicode corpora and transitively by the winnow_overlap
-    oracle (the driver query uses THIS variant)."""
-    import re as _re
-
-    import numpy as np
-
+    tests on mixed-unicode corpora (fixed + hypothesis-random) and
+    transitively by the winnow_overlap oracle (the driver query uses THIS
+    variant)."""
     from pyspark.sql.functions import pandas_udf
-
-    ws = _re.compile(r"\s+", _re.ASCII)
-    base, mod = 31, 1_000_003
-    i64max = np.iinfo(np.int64).max
-
-    def _sketch(text: str | None) -> list[int]:
-        s = ws.sub(" ", (text or "").lower()).strip()
-        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        n = codes.size
-        if n == 0:
-            h = np.zeros(1, dtype=np.int64)  # ascii('') folds to 0
-        else:
-            npos = max(n - window + 1, 1)
-            h = np.zeros(npos, dtype=np.int64)
-            for j in range(min(window, n)):
-                h = (h * base + codes[j : j + npos]) % mod
-        k = (h.size + select_every - 1) // select_every
-        hp = np.concatenate([h, np.full(k * select_every - h.size, i64max)])
-        mins = hp.reshape(k, select_every).min(axis=1)
-        return list(dict.fromkeys(mins.tolist()))  # stable distinct
 
     @pandas_udf("array<long>")
     def udf(texts: pd.Series) -> pd.Series:
-        return texts.map(_sketch)
+        return texts.map(lambda t: winnow_sketch_py(t, window, select_every))
 
     return udf
 

@@ -92,3 +92,71 @@ def test_fingerprint_duckdb_twin_parity():
             f"SELECT {expr} FROM (SELECT ? AS q)", [q]
         ).fetchone()[0]
         assert capitalize_first_word_py(got) == fingerprint_py(q), q
+
+
+def _winnow_naive(text, window=8, select_every=4, base=31, mod=1_000_003):
+    """Straight-from-the-definition reference: per-position char fold,
+    stride mins, first-occurrence distinct."""
+    import re
+
+    s = re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip()
+    if not s:
+        hashes = [0]
+    else:
+        npos = max(len(s) - window + 1, 1)
+        hashes = []
+        for i in range(npos):
+            h = 0
+            for ch in s[i : i + window]:
+                h = (h * base + ord(ch)) % mod
+            hashes.append(h)
+    mins = [
+        min(hashes[k * select_every : (k + 1) * select_every])
+        for k in range((len(hashes) + select_every - 1) // select_every)
+    ]
+    return list(dict.fromkeys(mins))
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(max_size=300),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=6),
+)
+def test_winnow_numpy_kernel_matches_naive_definition(text, window, sel):
+    """The vectorized sketch (the pandas-UDF kernel) equals the loop-
+    from-the-definition on arbitrary unicode text and parameters."""
+    from mariadb_to_graylog_spark.operators.textstats import winnow_sketch_py
+
+    assert winnow_sketch_py(text, window, sel) == _winnow_naive(text, window, sel)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_word_ngram_gram_strings_are_window_joins(a, b):
+    """Decontamination gram property: two texts share a gram hash IFF they
+    share a normalized n-word window (no hash-construction asymmetry).
+    Checked via the pure construction rule on tiny n."""
+    import hashlib
+    import re
+
+    def grams(t, n=3):
+        s = re.sub(r"\s+", " ", (t or "").lower(), flags=re.ASCII).strip()
+        toks = s.split(" ")
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    def h32(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    ga, gb = grams(a), grams(b)
+    shared_windows = ga & gb
+    shared_hashes = {h32(g) for g in ga} & {h32(g) for g in gb}
+    if shared_windows:
+        assert shared_hashes
+    # the reverse (hash collision without shared window) is possible but
+    # astronomically unlikely at 2^32 over <=400 grams; assert no FP here
+    if not shared_windows:
+        assert not shared_hashes
