@@ -15,6 +15,7 @@ so the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +45,50 @@ def word_ngram_hashes(c: Column, n: int = 13) -> Column:
     # bind the token array once (HOFs are interpreted without CSE; see
     # textstats._bind)
     return _bind(F.split(normalize_text(c), " "), _grams)
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13) -> set[int]:
+    """Driver-side distinct gram-hash set of the eval corpus -- small by
+    definition (thousands of items vs 10^9+ documents), so collecting it
+    is the broadcast pattern, not a scalability hole."""
+    rows = (
+        eval_df.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"))
+        .distinct()
+        .collect()
+    )
+    return {r.h for r in rows}
+
+
+def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
+    """Stateless per-row contamination flag for STREAMING (and any context
+    where an aggregation is unwelcome): grams are computed in Arrow
+    batches and probed against the broadcast eval-hash set -- no explode,
+    no shuffle, no state.  Bit-identical to ``contamination``'s flag on
+    the same rows (gram = md5-h32 of the space-joined normalized n-word
+    window; Python/Java lower() caveats as in winnow_fingerprint_pandas).
+    Short-circuits on the first hit."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    hs = frozenset(eval_hashes)
+
+    def _flag(t: str | None) -> bool:
+        s = ws.sub(" ", (t or "").lower()).strip()
+        toks = s.split(" ")
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i : i + n])
+            if int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) in hs:
+                return True
+        return False
+
+    @pandas_udf("boolean")
+    def udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_flag)
+
+    return udf
 
 
 def contamination(
