@@ -191,6 +191,23 @@ def test_connected_components_and_keep_one(spark, docs):
     assert kept == [1, 7, 10, 99]
 
 
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 300-node path graph -- the adversarial shape for plain min-label
+    propagation (O(diameter) = ~300 rounds, which would blow max_iters) --
+    must converge within a logarithmic round budget thanks to the pointer
+    jump (label <- label(label))."""
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, max_iters=25).collect()
+    }
+    assert len(comp) == 301 and set(comp.values()) == {0}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches CC to reliable .checkpoint() (survives
     executor loss on a real cluster): same labels, files actually written
