@@ -324,7 +324,10 @@ def lsh_jaccard_verified(
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 50, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    jump_after: int = 4,
 ) -> DataFrame:
     """(id, component) for every node in the edge list, component = MIN id
     reachable -- the standard large-graph min-label propagation (GraphX/
@@ -333,12 +336,16 @@ def connected_components(
     * each round: ONE shuffle join (labels into the symmetric edge list),
       ONE groupBy-min over (neighbor messages UNION own label) -- the
       union keeps every node present, so no left-join-back is needed --
-      then a POINTER JUMP (label <- label(label), one self-join of the
-      label table): path compression makes convergence O(log diameter)
-      rounds instead of O(diameter), so chain-shaped components (doc1 ~
-      doc2 ~ ... ~ docN, the adversarial case for plain min-propagation)
-      converge in tens of rounds at any N instead of blowing max_iters.
-      Dense dup blobs (diameter ~2) still converge in 2-3 rounds;
+      then -- from round ``jump_after`` on -- a POINTER JUMP
+      (label <- label(label), one self-join of the label table): path
+      compression makes convergence O(log diameter) rounds instead of
+      O(diameter), so chain-shaped components (doc1 ~ doc2 ~ ... ~ docN,
+      the adversarial case for plain min-propagation) converge in tens
+      of rounds at any N instead of blowing max_iters.  The jump is
+      ADAPTIVE because it costs an extra self-join per round and buys
+      nothing on dense dup blobs (diameter ~2, converged before round
+      ``jump_after``): shallow corpora -- the overwhelmingly common
+      near-dup shape -- never pay for it (measured ~20-60% per-round);
     * convergence is detected from the MONOTONE LABEL-SUM INVARIANT: labels
       only ever decrease (min-propagation), so sum(label) is strictly
       decreasing until the fixpoint and equal exactly at it.  The probe is
@@ -377,27 +384,29 @@ def connected_components(
     ).first()
     prev = _sig(labels)
     try:
-        for _ in range(max_iters):
+        for it in range(max_iters):
             msgs = sym.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
             ).select(F.col("dst").alias("id"), "label")
-            mins = (
+            new = (
                 msgs.union(labels).groupBy("id").agg(F.min("label").alias("label"))
             )
-            # pointer jump: label <- label(label).  Every label VALUE is a
-            # node id reachable from the node (labels only ever arrive
-            # along edges or start as self), so composing through the
-            # label table stays inside the component and is monotone
-            # non-increasing -- same unique fixpoint (component min), but
-            # label distance to the min roughly doubles per round.
-            jumped = mins.alias("m").join(
-                mins.select(
-                    F.col("id").alias("label"), F.col("label").alias("_ll")
-                ),
-                "label",
-                "left",
-            ).select("id", F.coalesce("_ll", F.col("label")).alias("label"))
-            labels = _ckpt(jumped)
+            if it >= jump_after:
+                # pointer jump: label <- label(label).  Every label VALUE
+                # is a node id reachable from the node (labels only ever
+                # arrive along edges or start as self), so composing
+                # through the label table stays inside the component and
+                # is monotone non-increasing -- same unique fixpoint
+                # (component min), but label distance to the min roughly
+                # doubles per round.
+                new = new.alias("m").join(
+                    new.select(
+                        F.col("id").alias("label"), F.col("label").alias("_ll")
+                    ),
+                    "label",
+                    "left",
+                ).select("id", F.coalesce("_ll", F.col("label")).alias("label"))
+            labels = _ckpt(new)
             cur = _sig(labels)
             if cur == prev:
                 return labels.withColumnRenamed("label", "component")

@@ -210,9 +210,22 @@ def main() -> int:
         "Sub-4x ratios = fixed per-job overhead still amortizing at this "
         "scale; the signal is the DISTANCE from the ~16x quadratic "
         "signature the round-1 all-pairs shapes would show.  lsh_verified's "
-        "result rows grow exactly 4x (the planted dups); keep-one output "
-        "is linear by construction -- the product shape for corpora whose "
-        "pair graph is dense.",
+        "result rows grow exactly 4x (the planted dups).",
+        "",
+        "**The groups path measures the PRODUCTION shape** (r2 verdict "
+        "asks #1-#2, closed in round 3): LSH candidates -> exact-Jaccard "
+        "VERIFY -> connected components (message-union formulation, "
+        "monotone label-sum convergence probe, reliable-checkpoint "
+        "option, adaptive pointer jump from round 4 for chain-shaped "
+        "components) -> keep-one.  Kept rows equal the true non-duplicate "
+        "count exactly (round 2's unverified-edge run kept only 12,135 of "
+        "30,000 docs at the low level: false-positive LSH edges chained "
+        "unrelated word-salad docs into blobs that keep-one would have "
+        "deleted).  Despite ALSO paying for verification, the round-3 "
+        "groups path is ~2.5x faster in absolute terms than round 2's "
+        "(27.6s -> ~12s at 25k docs; 83.5s -> ~34s at 100k): the cheaper "
+        "convergence probe and one-join-per-round CC more than cover the "
+        "verify cost.",
         "",
         "Raw:",
         "```json",
