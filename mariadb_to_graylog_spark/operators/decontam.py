@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mariadb_to_graylog_spark.operators.dedup import h32
-from mariadb_to_graylog_spark.operators.textstats import _bind, normalize_text
+from mariadb_to_graylog_spark.operators.textstats import bind_once, normalize_text
 
 
 def word_ngram_hashes(c: Column, n: int = 13) -> Column:
@@ -43,8 +43,8 @@ def word_ngram_hashes(c: Column, n: int = 13) -> Column:
         ).otherwise(F.array().cast("array<long>"))
 
     # bind the token array once (HOFs are interpreted without CSE; see
-    # textstats._bind)
-    return _bind(F.split(normalize_text(c), " "), _grams)
+    # textstats.bind_once)
+    return bind_once(F.split(normalize_text(c), " "), _grams)
 
 
 def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13) -> set[int]:

@@ -93,7 +93,7 @@ def doc_fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
-def _bind(value: Column, fn) -> Column:
+def bind_once(value: Column, fn) -> Column:
     """Evaluate ``value`` ONCE and pass it to ``fn`` as a lambda variable:
     ``transform(array(value), v -> fn(v))[0]``.
 
@@ -126,10 +126,10 @@ def rolling_hash_shingles(c: Column, window: int = 8, base: int = 31, mod: int =
     # bind twice: the regexp-normalized string is split/ascii'd ONCE per
     # document, and each window position folds over an array slice --
     # re-running substr+split+ascii per position costs ~2.5x
-    codes = _bind(
+    codes = bind_once(
         normalize_text(c), lambda s: F.transform(F.split(s, ""), F.ascii)
     )
-    return _bind(codes, _hashes)
+    return bind_once(codes, _hashes)
 
 
 def winnow_fingerprint(c: Column, window: int = 8, select_every: int = 4) -> Column:
@@ -152,7 +152,7 @@ def winnow_fingerprint(c: Column, window: int = 8, select_every: int = 4) -> Col
 
     # bind the hash array once: each stride slices a bound variable
     # instead of re-deriving the whole array
-    return _bind(rolling_hash_shingles(c, window), _winnow)
+    return bind_once(rolling_hash_shingles(c, window), _winnow)
 
 
 _WS_ASCII = None  # lazily-compiled \s+ with re.ASCII (matches Java's default)
