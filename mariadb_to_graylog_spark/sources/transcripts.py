@@ -39,9 +39,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
-    """Read the transcripts table (Iceberg table name or parquet path)."""
-    if "/" not in path_or_table and iceberg_available(spark):
-        return spark.read.format("iceberg").load(path_or_table)
+    """Read the transcripts table: Iceberg table name (jar present),
+    catalog table (e.g. a conv_id-bucketed table written by
+    sources/bucketed.py -- downstream per-conversation joins/aggs then
+    run exchange-free), or parquet path."""
+    if "/" not in path_or_table:
+        if iceberg_available(spark):
+            return spark.read.format("iceberg").load(path_or_table)
+        if spark.catalog.tableExists(path_or_table):
+            return spark.table(path_or_table)
     return spark.read.parquet(path_or_table)
 
 

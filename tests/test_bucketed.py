@@ -66,3 +66,16 @@ def test_bucketed_join_and_agg_are_exchange_free(
     plain.count()
     plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan
+
+
+def test_read_transcripts_resolves_catalog_tables(
+    spark, transcripts, bucket_db
+):
+    """--input can name a catalog table (e.g. a bucketed one): the source
+    resolves it before falling back to a parquet path."""
+    from mariadb_to_graylog_spark.sources.transcripts import read_transcripts
+
+    write_bucketed(transcripts, f"{bucket_db}.t_cat", buckets=4)
+    back = read_transcripts(spark, f"{bucket_db}.t_cat")
+    assert back.count() == transcripts.count()
+    assert set(back.columns) == set(transcripts.columns)
