@@ -1698,6 +1698,29 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact interpolated
+    percentiles -- the oracle path; approx_percentile is the 100 TB
+    default, tested against this within its rank-error bound)."""
+    d = _documents(spark, sf_dir)
+    return tx.token_length_percentiles(d, by="lang", ps=(0.5, 0.9, 0.99))
+
+
+ORACLE_TOKEN_PERCENTILES = """
+WITH s AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.9), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM s GROUP BY lang
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed product flow a training-data team actually runs:
     exact dedup (keep min-id per identical text) -> quality gate
@@ -1868,6 +1891,7 @@ TRAINING_QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "decontaminate": q_decontaminate,
     "curation_pipeline": q_curation_pipeline,
+    "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -1898,6 +1922,7 @@ TRAINING_ORACLES = {
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }
 

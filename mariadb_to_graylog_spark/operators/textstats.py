@@ -301,3 +301,39 @@ def dup_bigram_ratio(c: Column, round_digits: int = 6) -> Column:
         F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
         round_digits,
     )
+
+
+def token_length_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group token-count distribution (corpus length profiling --
+    the standard pre-training mix diagnostic).
+
+    ``approx=False`` uses EXACT interpolated ``percentile`` (matches
+    DuckDB ``quantile_cont`` bit-for-bit -- the oracle path) but buffers
+    each group's values: fine for thousands of groups x bounded samples.
+    ``approx=True`` uses ``approx_percentile`` (mergeable fixed-memory
+    sketch, rank error <= n/accuracy) -- the 100 TB default, where an
+    exact per-group sort/buffer is the thing to avoid."""
+    fname = "approx_percentile" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    arr = ", ".join(str(p) for p in ps)
+    qexpr = F.expr(f"{fname}(n, array({arr}){extra})")
+    base = df.select(F.col(by).alias(by), token_count(F.col(text_col)).alias("n"))
+    agg = base.groupBy(by).agg(
+        qexpr.alias("_q"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n"), 6).alias("mean_tokens"),
+    )
+    cols = [
+        F.round(F.col("_q").getItem(i).cast("double"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for i, p in enumerate(ps)
+    ]
+    return agg.select(by, "n_docs", "mean_tokens", *cols)

@@ -484,6 +484,30 @@ def test_winnow_fingerprint_stability(spark):
     assert fps[1] != fps[3]
 
 
+def test_token_percentiles_approx_within_rank_bound(spark, docs):
+    """approx_percentile (the 100 TB default: mergeable fixed-memory
+    sketch) must stay within its rank-error guarantee of the exact
+    interpolated percentiles the oracle checks."""
+    from mariadb_to_graylog_spark.operators.textstats import (
+        token_length_percentiles,
+    )
+
+    exact = {
+        r.lang: (r.p50, r.p90, r.p99)
+        for r in token_length_percentiles(docs, by="lang").collect()
+    }
+    approx = {
+        r.lang: (r.p50, r.p90, r.p99)
+        for r in token_length_percentiles(docs, by="lang", approx=True).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            # accuracy=10000 on <=1k-row groups -> rank error < 1 element;
+            # interpolation vs element choice differs by < one step
+            assert abs(e - a) <= max(3.0, 0.05 * e), (lang, e, a)
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark):
     """The k=32 collision-fraction estimator must track exact 4-gram
     Jaccard on the planted near-dups: exact duplicates estimate 1.0, and
