@@ -136,10 +136,14 @@ QUERY_NAMES = [
     "simhash_banded",
     "embed_neardup_lsh",
     "winnow_overlap",
+    "dedup_lsh_estimate",
+    "decontaminate",
+    "curation_pipeline",
     "dedup_exact",
     "knn_bruteforce",
     "knn_ivf_trained",
     "lang_id",
+    "token_percentiles",
     "tpch_pricing",
 ]
 
