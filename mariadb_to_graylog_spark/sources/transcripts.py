@@ -62,11 +62,10 @@ def write_transcripts(
         writer = df.writeTo(path_or_table).using("iceberg")
         if mode == "overwrite":
             writer.createOrReplace()
-        else:  # append; create the table on first write
-            try:
-                writer.append()
-            except Exception:
-                writer.create()
+        elif df.sparkSession.catalog.tableExists(path_or_table):
+            writer.append()
+        else:  # first append creates the table
+            writer.create()
         return
     df.write.mode(mode).parquet(path_or_table)
 
