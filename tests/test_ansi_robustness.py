@@ -97,7 +97,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
 
 @pytest.mark.parametrize(
     "qname",
-    ["decontaminate", "winnow_overlap", "dedup_groups", "multimodal_meta"],
+    ["decontaminate", "winnow_overlap", "dedup_groups", "multimodal_meta",
+     "dedup_lsh_estimate", "curation_pipeline", "token_percentiles"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Round-3 training operators must return IDENTICAL rows with ANSI on
