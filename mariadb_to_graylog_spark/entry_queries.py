@@ -1842,7 +1842,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_media_meta(media)
     return decoded.select(
         "media_id", "kind", "width", "height", "channels",
-        "sample_rate", "bits_per_sample",
+        "sample_rate", "bits_per_sample", "n_frames",
     )
 
 
@@ -1851,15 +1851,21 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        CASE WHEN doc_id % 3 = 0
-            THEN CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) END AS width,
+            THEN CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT)
+            WHEN doc_id % 3 = 2
+            THEN CAST(octet_length(encode(text)) % 32 + 8 AS BIGINT) END AS width,
        CASE WHEN doc_id % 3 = 0
-            THEN CAST(octet_length(encode(text)) % 48 + 12 AS BIGINT) END AS height,
+            THEN CAST(octet_length(encode(text)) % 48 + 12 AS BIGINT)
+            WHEN doc_id % 3 = 2
+            THEN CAST(octet_length(encode(text)) % 24 + 6 AS BIGINT) END AS height,
        CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS BIGINT)
             WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
        CASE WHEN doc_id % 3 = 1
             THEN CAST(8000 + (octet_length(encode(text)) % 8) * 1000 AS BIGINT)
             END AS sample_rate,
-       CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS BIGINT) END AS bits_per_sample
+       CASE WHEN doc_id % 3 = 1 THEN CAST(16 AS BIGINT) END AS bits_per_sample,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(octet_length(encode(text)) % 12 + 2 AS BIGINT) END AS n_frames
 FROM documents
 """
 

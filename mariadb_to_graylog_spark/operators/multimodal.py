@@ -1,19 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches.
 
-Image and audio are REAL end-to-end with stdlib only: ``attach_payload``
+All three kinds are REAL end-to-end with stdlib only: ``attach_payload``
 synthesizes fully valid minimal PNG files (signature, IHDR, zlib IDAT,
-CRC-32 per chunk) and PCM WAV files (RIFF/WAVE with a walked fmt chunk),
-and ``decode_media_meta`` parses the headers back with ``struct.unpack``
--- no PIL/imageio needed.  The driver oracle closes the loop: the decoded
-width/height/channels/sample-rate must equal the closed-form generation
-parameters recomputed in SQL, so a malformed byte stream or a wrong
-decoder offset fails the round trip.
-
-Video remains an opaque STUB (no stdlib container format): payload bytes
-are deterministic, metadata columns are NULL, and ``frame_sample`` derives
-fake frame counts from payload size.  ``decode_pixels_real`` stays gated
-behind PIL for actual raster decoding.
+CRC-32 per chunk), PCM WAV files (RIFF/WAVE with a walked fmt chunk), and
+animated GIF89a files as the video stand-in (logical screen descriptor,
+NETSCAPE loop extension, N real LZW-coded frames, trailer), and
+``decode_media_meta`` parses them back with ``struct.unpack`` -- no
+PIL/imageio needed.  The GIF parser WALKS the block structure
+(sub-block chains skipped), so frame counting cannot be fooled by 0x2C
+bytes inside data.  The driver oracle closes the loop: decoded
+width/height/channels/sample-rate/frame-count must equal the closed-form
+generation parameters recomputed in SQL, so a malformed byte stream or a
+wrong decoder offset fails the round trip.  ``frame_sample`` explodes the
+REAL decoded frame count.  Only raster-pixel decoding
+(``decode_pixels_real``) stays gated behind PIL.
 
 At 100 TB scale the pattern is: keep payloads in their own column/file
 group (parquet column pruning means metadata queries never read them),
@@ -43,7 +44,7 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_MIME = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
+_MIME = {"image": "image/png", "audio": "audio/wav", "video": "image/gif"}
 
 # PNG color type -> samples per pixel (PNG spec, 11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -95,11 +96,41 @@ def _audio_params(n_text: int, media_id: int) -> tuple[int, int, int]:
     return 8000 + (n_text % 8) * 1000, 1 + media_id % 2, n_text % 32 + 1
 
 
+# one 1x1 2-color GIF frame: image descriptor (left/top 0, 1x1, no local
+# color table) + LZW data (min code size 2; codes clear(4), pixel(0),
+# eoi(5) pack LSB-first into 0x44 0x01)
+_GIF_FRAME = (
+    b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+    + b"\x02" + b"\x02\x44\x01" + b"\x00"
+)
+
+
+def make_gif(width: int, height: int, n_frames: int) -> bytes:
+    """A valid animated GIF89a: logical screen descriptor with a 2-entry
+    global color table, NETSCAPE looping extension, ``n_frames`` frames
+    (each a graphics-control extension + a real 1x1 LZW-coded image --
+    decoders render frames smaller than the screen), trailer."""
+    lsd = struct.pack("<HH", width, height) + b"\x80\x00\x00"  # GCT, 2 entries
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    gce = b"\x21\xf9\x04\x00\x02\x00\x00\x00"  # 2cs delay per frame
+    return (
+        b"GIF89a" + lsd + gct + netscape
+        + (gce + _GIF_FRAME) * n_frames
+        + b"\x3b"
+    )
+
+
+def _video_params(n_text: int) -> tuple[int, int, int]:
+    return n_text % 32 + 8, n_text % 24 + 6, n_text % 12 + 2
+
+
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic media table from a text corpus: REAL minimal PNG
-    (doc_id%3==0) / PCM WAV (==1) payloads whose header parameters are
-    closed-form functions of (utf-8 byte length, id); video (==2) stays an
-    opaque deterministic byte string."""
+    (doc_id%3==0) / PCM WAV (==1) / animated GIF (==2, the video stand-in
+    -- a frame-structured container stdlib can both write and walk)
+    payloads whose header parameters are closed-form functions of
+    (utf-8 byte length, id)."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,7 +147,8 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                     rate, ch, frames = _audio_params(n_text, mid)
                     payload = make_wav(rate, ch, frames)
                 else:
-                    payload = raw
+                    w, h, frames = _video_params(n_text)
+                    payload = make_gif(w, h, frames)
                 out_rows.append(
                     (mid, kind, payload, _MIME[kind], len(payload))
                 )
@@ -135,7 +167,57 @@ _META_FIELDS = [
     T.StructField("channels", T.LongType(), True),
     T.StructField("sample_rate", T.LongType(), True),
     T.StructField("bits_per_sample", T.LongType(), True),
+    T.StructField("n_frames", T.LongType(), True),
 ]
+
+
+def parse_gif_meta(b: bytes) -> tuple[int, int, int] | None:
+    """(screen_width, screen_height, n_frames) from a GIF87a/89a stream by
+    WALKING the block structure (extensions' sub-block chains are skipped,
+    so an 0x2C byte inside data is never miscounted as a frame); None if
+    malformed or truncated."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    off = 13
+    if packed & 0x80:  # global color table: 3 * 2^(size+1) bytes
+        off += 3 * (2 << (packed & 0x07))
+    frames = 0
+
+    def _skip_subblocks(o: int) -> int | None:
+        while True:
+            if o >= len(b):
+                return None
+            n = b[o]
+            o += 1
+            if n == 0:
+                return o
+            o += n
+
+    while off < len(b):
+        introducer = b[off]
+        if introducer == 0x3B:  # trailer
+            return width, height, frames
+        if introducer == 0x21:  # extension: label byte + sub-blocks
+            off = _skip_subblocks(off + 2)  # type: ignore[assignment]
+            if off is None:
+                return None
+        elif introducer == 0x2C:  # image descriptor
+            if off + 10 > len(b):
+                return None
+            ipacked = b[off + 9]
+            off += 10
+            if ipacked & 0x80:  # local color table
+                off += 3 * (2 << (ipacked & 0x07))
+            off += 1  # LZW minimum code size
+            off = _skip_subblocks(off)  # type: ignore[assignment]
+            if off is None:
+                return None
+            frames += 1
+        else:
+            return None
+    return None  # ran off the end without a trailer
 
 
 def parse_png_header(b: bytes) -> tuple[int, int, int] | None:
@@ -178,9 +260,11 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int] | None:
 def decode_media_meta(df: DataFrame) -> DataFrame:
     """REAL stdlib header decode, Arrow-batched via mapInPandas: PNG ->
     (width, height, channels), WAV -> (sample_rate, channels,
-    bits_per_sample); video / unparseable payloads -> NULL metadata.
-    The Spark-side shape (column pruning keeps payload out of metadata-only
-    plans; one Arrow batch per task) is the 100 TB pattern."""
+    bits_per_sample), GIF -> (width, height, n_frames -- counted by
+    walking the block structure, not byte-scanning); unparseable payloads
+    -> NULL metadata.  The Spark-side shape (column pruning keeps payload
+    out of metadata-only plans; one Arrow batch per task) is the 100 TB
+    pattern."""
     schema = T.StructType(list(df.schema.fields) + _META_FIELDS)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,7 +272,7 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
             cols: dict[str, list] = {f.name: [] for f in _META_FIELDS}
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                w = h = ch = rate = bits = None
+                w = h = ch = rate = bits = frames = None
                 png = parse_png_header(b)
                 if png is not None:
                     w, h, ch = png
@@ -196,9 +280,14 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                     wav = parse_wav_header(b)
                     if wav is not None:
                         rate, ch, bits = wav
+                    else:
+                        gif = parse_gif_meta(b)
+                        if gif is not None:
+                            w, h, frames = gif
                 for name, v in zip(
-                    ("width", "height", "channels", "sample_rate", "bits_per_sample"),
-                    (w, h, ch, rate, bits),
+                    ("width", "height", "channels", "sample_rate",
+                     "bits_per_sample", "n_frames"),
+                    (w, h, ch, rate, bits, frames),
                 ):
                     cols[name].append(v)
             for name, vals in cols.items():
@@ -229,13 +318,18 @@ def decode_pixels_real(df: DataFrame) -> DataFrame:
 decode_image_real = decode_pixels_real
 
 
-def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub: emits (media_id, frame_idx) rows for
-    every_n-th fake frame; frame count derived from payload size."""
-    n_frames = (F.col("n_bytes") / 1000 + 1).cast("int")
-    return df.filter(F.col("kind") == "video").select(
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every ``every_n``-th frame of each video as (media_id, frame_idx)
+    rows.  Accepts either a decoded frame (``n_frames`` column present,
+    the REAL count parsed from the container) or a raw media frame (falls
+    back to decoding inline)."""
+    if "n_frames" not in df.columns:
+        df = decode_media_meta(df)
+    return df.filter(
+        (F.col("kind") == "video") & F.col("n_frames").isNotNull()
+    ).select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+            F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int"), F.lit(every_n))
         ).alias("frame_idx"),
     )

@@ -721,14 +721,21 @@ def test_multimodal_real_codecs(spark, docs):
                 assert w.getsampwidth() * 8 == r.bits_per_sample == 16
                 assert w.getnframes() == n_text % 32 + 1
             assert r.width is None and r.height is None
-        else:
-            assert all(
-                v is None
-                for v in (r.width, r.height, r.channels, r.sample_rate,
-                          r.bits_per_sample)
+        else:  # video = animated GIF: decoded screen dims + REAL frame count
+            assert (r.width, r.height, r.n_frames) == (
+                n_text % 32 + 8, n_text % 24 + 6, n_text % 12 + 2
             )
-    frames = frame_sample(media)
-    assert frames.count() > 0
+            assert r.channels is None and r.sample_rate is None
+            assert bytes(r.payload)[:6] == b"GIF89a"
+    # frame sampling explodes the DECODED frame count (every 2nd frame)
+    frames = frame_sample(media, every_n=2)
+    per_media = {}
+    for fr in frames.collect():
+        per_media.setdefault(fr.media_id, []).append(fr.frame_idx)
+    for mid, idxs in per_media.items():
+        n = rows[mid].n_frames
+        assert sorted(idxs) == list(range(0, n, 2))
+    assert per_media  # at least one video present
     with pytest.raises(NotImplementedError):
         decode_pixels_real(media).collect()
 
@@ -749,6 +756,22 @@ def test_media_header_parsers_reject_malformed():
     corrupt = png[:20] + bytes([png[20] ^ 0xFF]) + png[21:]
     assert parse_png_header(corrupt) is None  # IHDR CRC mismatch
     assert parse_png_header(b"") is None
+
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        make_gif,
+        parse_gif_meta,
+    )
+
+    gif = make_gif(33, 21, 5)
+    assert parse_gif_meta(gif) == (33, 21, 5)
+    # an 0x2C byte INSIDE an extension's data must not count as a frame:
+    # the parser walks sub-block chains instead of byte-scanning
+    comment = b"\x21\xfe\x03" + b"\x2c\x2c\x2c" + b"\x00"
+    spiked = gif[:13] + gif[13:19] + comment + gif[19:]
+    assert parse_gif_meta(spiked) == (33, 21, 5)
+    assert parse_gif_meta(gif[:-1]) is None  # truncated: no trailer
+    assert parse_gif_meta(b"GIF89a") is None
+    assert parse_gif_meta(b"RIFF" + gif[4:]) is None
 
     wav = make_wav(11000, 2, 5)
     assert parse_wav_header(wav) == (11000, 2, 16)
