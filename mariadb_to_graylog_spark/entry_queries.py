@@ -1870,6 +1870,29 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 2nd frame of each video, exploded from the frame count the
+    GIF block-walker DECODES out of the payload bytes -- the oracle
+    recomputes the closed-form count, so a wrong walk breaks parity."""
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        attach_payload,
+        frame_sample,
+    )
+
+    media = attach_payload(_documents(spark, sf_dir))
+    return frame_sample(media, every_n=2).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(unnest(range(0, octet_length(encode(text)) % 12 + 2, 2)) AS BIGINT)
+         AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 TRAINING_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1899,6 +1922,7 @@ TRAINING_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
+    "frame_sample": q_frame_sample,
 }
 
 TRAINING_ORACLES = {
@@ -1930,6 +1954,7 @@ TRAINING_ORACLES = {
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
 }
 
 ALL_QUERIES = {**LOG_QUERIES, **TRAINING_QUERIES}
