@@ -250,7 +250,14 @@ def minhash_jaccard_estimate(
     banding, NO second pass touches shingle arrays or text -- only
     (id, k longs) signature rows move to meet the candidates.
     ``lsh_jaccard_verified`` is the exact twin (same candidates, exact
-    n-gram Jaccard); use it when the score gates deletion."""
+    n-gram Jaccard); use it when the score gates deletion.
+
+    Cost shape note: the signature lineage is evaluated for the bucket
+    relation AND both join sides (map-side recompute, no shuffle).  On
+    small local corpora that recompute dominates and the "fast" path can
+    measure slower than verify; at corpus scale the traffic it avoids --
+    per-candidate gram arrays (hundreds of longs/doc) vs k=32 longs --
+    is the term that matters."""
     k = bands * rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, shingle_n, k)
     sig_arr = sigs.select(
