@@ -361,9 +361,17 @@ def connected_components(
       labels-to-labels join + count per round);
     * ``checkpoint_dir`` selects RELIABLE checkpointing (survives executor
       loss -- required on a real cluster, where ``localCheckpoint`` blocks
-      die with their executor and fail the job mid-iteration).  When None
-      (tests / local mode) it falls back to ``localCheckpoint``.  Either
-      way the lineage is truncated each round so the plan stays O(1);
+      die with their executor and fail the job mid-iteration): each round
+      snapshots the label table as parquet under a per-run subdirectory
+      and deletes the superseded round's snapshot, so at most two rounds
+      of files ever exist and the shared ``setCheckpointDir`` is never
+      touched (``df.checkpoint`` would both leak every round's files --
+      Spark never cleans them by default -- and mutate the application's
+      global checkpoint location).  The FINAL snapshot backs the returned
+      DataFrame; the caller owns deleting ``checkpoint_dir`` after
+      consuming the result.  When None (tests / local mode) it falls back
+      to ``localCheckpoint``.  Either way the lineage is truncated each
+      round so the plan stays O(1);
     * the result (min id per component) is ITERATION-ORDER INDEPENDENT, so
       it is oracle-checkable against a recursive-CTE ground truth.
 
@@ -371,8 +379,26 @@ def connected_components(
     would be wrong-but-plausible, the worst failure mode for dedup.
     """
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        _ckpt = lambda d: d.checkpoint(eager=True)  # noqa: E731
+        import uuid as _uuid
+
+        spark = edges.sparkSession
+        run_dir = f"{checkpoint_dir.rstrip('/')}/cc_{_uuid.uuid4().hex}"
+        _hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        _jvm = spark._jvm  # type: ignore[attr-defined]
+        _state: dict = {"i": 0, "prev": None}
+
+        def _delete(path: str) -> None:
+            p = _jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(_hconf).delete(p, True)
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            path = f"{run_dir}/labels_{_state['i']}"
+            _state["i"] += 1
+            d.write.mode("overwrite").parquet(path)  # the eager action
+            if _state["prev"] is not None:
+                _delete(_state["prev"])  # superseded round, safe to drop
+            _state["prev"] = path
+            return spark.read.parquet(path)
     else:
         _ckpt = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
     sym = (
@@ -619,8 +645,10 @@ def winnow_overlap_pairs(
         sketch = winnow_fingerprint_pandas(window, select_every)(F.col(text_col))
     else:
         sketch = winnow_fingerprint(F.col(text_col), window, select_every)
+    # id type preserved (like every sibling pair operator): a cast-to-long
+    # here silently nulled string ids and dropped every pair
     sk = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         sketch.alias("sketch"),
     ).filter(F.length(normalize_text(F.col(text_col))) > 0)
     ex = sk.select(

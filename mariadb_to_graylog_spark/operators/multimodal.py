@@ -130,14 +130,18 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     (doc_id%3==0) / PCM WAV (==1) / animated GIF (==2, the video stand-in
     -- a frame-structured container stdlib can both write and walk)
     payloads whose header parameters are closed-form functions of
-    (utf-8 byte length, id)."""
+    (utf-8 byte length, id).
+
+    Rows with a NULL id are dropped up front (media identity requires an
+    id; inside the Arrow batch a null long arrives as NaN and int() would
+    abort the task); NULL/NaN text generates an empty payload body."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
-                raw = (text or "").encode("utf-8")
+                raw = (text if isinstance(text, str) else "").encode("utf-8")
                 n_text = len(raw)
                 kind = ("image", "audio", "video")[mid % 3]
                 if kind == "image":
@@ -156,9 +160,11 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                 out_rows, columns=["media_id", "kind", "payload", "mime", "n_bytes"]
             )
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+        .filter(F.col(id_col).isNotNull())
+        .mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    )
 
 
 _META_FIELDS = [
@@ -325,8 +331,11 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     back to decoding inline)."""
     if "n_frames" not in df.columns:
         df = decode_media_meta(df)
+    # >= 1, not isNotNull: a structurally valid zero-frame GIF (header +
+    # trailer, no image descriptors) decodes to n_frames=0, and
+    # sequence(0, -1, step) throws -- it must yield no rows instead
     return df.filter(
-        (F.col("kind") == "video") & F.col("n_frames").isNotNull()
+        (F.col("kind") == "video") & (F.col("n_frames") >= 1)
     ).select(
         "media_id",
         F.explode(

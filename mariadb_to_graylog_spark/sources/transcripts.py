@@ -44,10 +44,14 @@ def read_transcripts(spark: SparkSession, path_or_table: str) -> DataFrame:
     sources/bucketed.py -- downstream per-conversation joins/aggs then
     run exchange-free), or parquet path."""
     if "/" not in path_or_table:
-        if iceberg_available(spark):
-            return spark.read.format("iceberg").load(path_or_table)
+        # catalog resolution FIRST: spark.table() reads both plain
+        # (e.g. bucketed) and Iceberg catalog tables; gating on the jar
+        # first would route a plain catalog table into
+        # format('iceberg').load and fail on Iceberg-enabled clusters
         if spark.catalog.tableExists(path_or_table):
             return spark.table(path_or_table)
+        if iceberg_available(spark):
+            return spark.read.format("iceberg").load(path_or_table)
     return spark.read.parquet(path_or_table)
 
 
@@ -60,12 +64,22 @@ def write_transcripts(
     classpath)."""
     if "/" not in path_or_table and iceberg_available(df.sparkSession):
         writer = df.writeTo(path_or_table).using("iceberg")
+        exists = df.sparkSession.catalog.tableExists(path_or_table)
+        # full save-mode semantics, matching the parquet branch: 'error'
+        # raises on an existing table, 'ignore' no-ops -- collapsing them
+        # to append would defeat callers using mode='error' as a
+        # double-write guard
         if mode == "overwrite":
             writer.createOrReplace()
-        elif df.sparkSession.catalog.tableExists(path_or_table):
-            writer.append()
-        else:  # first append creates the table
-            writer.create()
+        elif mode == "append":
+            writer.append() if exists else writer.create()
+        elif mode in ("error", "errorifexists"):
+            writer.create()  # raises if the table exists
+        elif mode == "ignore":
+            if not exists:
+                writer.create()
+        else:
+            raise ValueError(f"unknown save mode {mode!r}")
         return
     df.write.mode(mode).parquet(path_or_table)
 

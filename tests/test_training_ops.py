@@ -230,7 +230,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for root, _, files in os.walk(ckdir)
         for f in files
     ]
-    assert written, "reliable checkpoint must materialize RDD blocks on disk"
+    assert written, "reliable checkpoint must materialize snapshots on disk"
+    # superseded rounds are deleted: exactly ONE labels_* snapshot remains
+    # (the one backing the returned DataFrame)
+    snaps = [
+        d for root, dirs, _ in os.walk(ckdir) for d in dirs
+        if d.startswith("labels_")
+    ]
+    assert len(snaps) == 1, snaps
 
 
 def test_planted_fp_candidate_only_verified_edges_safe(spark):
@@ -668,6 +675,27 @@ def test_winnow_overlap_catches_containment(spark):
     }
     assert (1, 2) not in jac
 
+    # string doc ids work (no silent cast-to-long nulling the pairs)
+    sdf = df.withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+    spairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(sdf, min_overlap=0.5).collect()
+    }
+    assert spairs == {("doc-1", "doc-2")}
+
+    # zero-frame media edge: frame_sample on a corpus with a zero-frame
+    # GIF yields no rows for it instead of crashing sequence()
+    from mariadb_to_graylog_spark.operators.multimodal import frame_sample
+
+    empty_gif = (
+        b"GIF89a" + b"\x05\x00\x04\x00\x00\x00\x00" + b"\x3b"
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(empty_gif), "image/gif", len(empty_gif))],
+        "media_id long, kind string, payload binary, mime string, n_bytes long",
+    )
+    assert frame_sample(media).count() == 0
+
     # capping hash document-frequency can only lower scores, never raise
     uncapped = {
         (r.id_a, r.id_b): r.overlap
@@ -764,6 +792,14 @@ def test_media_header_parsers_reject_malformed():
 
     gif = make_gif(33, 21, 5)
     assert parse_gif_meta(gif) == (33, 21, 5)
+    # a structurally valid ZERO-frame GIF (header + trailer, no image
+    # descriptors) decodes to n_frames=0 -- it must not crash the
+    # decoder, and frame_sample must yield no rows for it (not throw on
+    # sequence(0, -1, step))
+    import struct as _s
+
+    empty_gif = b"GIF89a" + _s.pack("<HHBBB", 5, 4, 0, 0, 0) + b"\x3b"
+    assert parse_gif_meta(empty_gif) == (5, 4, 0)
     # an 0x2C byte INSIDE an extension's data must not count as a frame:
     # the parser walks sub-block chains instead of byte-scanning
     comment = b"\x21\xfe\x03" + b"\x2c\x2c\x2c" + b"\x00"
