@@ -1616,10 +1616,12 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnow_overlap_pairs(d, window=8, select_every=4, min_overlap=0.5)
 
 
-# the winnow sketch, validated value-identical to the Spark fold
-# (list_reduce's first-element seed equals the 0-seed fold because every
-# ascii value is < the modulus; list_distinct reorders, which the explode
-# erases)
+# the winnow sketch, validated value-identical to the Spark fold: the
+# inner rolling hash is list_reduce over list_prepend(0, ...) so the fold
+# is genuinely 0-seeded like Spark's aggregate (a bare first-element seed
+# would skip the first `% mod` step and diverge for codepoints >= the
+# modulus, i.e. planes 15-16 private use); list_distinct reorders, which
+# the explode erases
 ORACLE_WINNOW_OVERLAP = f"""
 WITH d AS ({_SQL_EXCERPTS}),
 s AS (
@@ -1631,9 +1633,10 @@ rh AS (
   SELECT id, list_transform(
     range(1, greatest(length(s) - 7, 1) + 1),
     i -> list_reduce(
-           list_transform(range(1, length(substr(s, CAST(i AS INT), 8)) + 1),
+           list_prepend(0, list_transform(
+                          range(1, length(substr(s, CAST(i AS INT), 8)) + 1),
                           j -> CAST(ascii(substr(substr(s, CAST(i AS INT), 8),
-                                                 CAST(j AS INT), 1)) AS BIGINT)),
+                                                 CAST(j AS INT), 1)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000003)
   ) AS hs
   FROM s WHERE length(s) > 0

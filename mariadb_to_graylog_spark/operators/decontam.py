@@ -47,16 +47,36 @@ def word_ngram_hashes(c: Column, n: int = 13) -> Column:
     return bind_once(F.split(normalize_text(c), " "), _grams)
 
 
-def eval_gram_set(eval_df: DataFrame, text_col: str = "text", n: int = 13) -> set[int]:
+def eval_gram_set(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    max_hashes: int = 50_000_000,
+) -> set[int]:
     """Driver-side distinct gram-hash set of the eval corpus -- small by
     definition (thousands of items vs 10^9+ documents), so collecting it
-    is the broadcast pattern, not a scalability hole."""
-    rows = (
+    is the broadcast pattern, not a scalability hole.
+
+    The contract is ENFORCED, not just documented: the distinct-hash
+    count is checked (one cheap pre-aggregated job) before anything is
+    pulled to the driver, so passing a corpus-sized DataFrame fails fast
+    with a clear message instead of silently OOMing the driver.  50M
+    hashes ~ 400 MB of longs -- a generous eval-suite ceiling, far below
+    driver limits."""
+    distinct_h = (
         eval_df.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"))
         .distinct()
-        .collect()
     )
-    return {r.h for r in rows}
+    cnt = distinct_h.count()
+    if cnt > max_hashes:
+        raise ValueError(
+            f"eval corpus must be small (its gram set is collected to the "
+            f"driver and broadcast); got {cnt:,} distinct {n}-gram hashes "
+            f"> max_hashes={max_hashes:,}.  For corpus-vs-corpus overlap "
+            f"use the bucketed gram self-join (substring dedup), not a "
+            f"broadcast."
+        )
+    return {r.h for r in distinct_h.collect()}
 
 
 def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
@@ -66,16 +86,29 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
     no shuffle, no state.  Bit-identical to ``contamination``'s flag on
     the same rows (gram = md5-h32 of the space-joined normalized n-word
     window; Python/Java lower() caveats as in winnow_fingerprint_pandas).
-    Short-circuits on the first hit."""
+    Short-circuits on the first hit.
+
+    The hash set rides a real ``SparkContext.broadcast`` when a session is
+    active (shipped once per executor, torrent-distributed), NOT a plain
+    closure (which would re-serialize the whole set into every task); the
+    closure fallback only applies when no session exists yet at
+    definition time."""
     import hashlib
     import re
 
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     ws = re.compile(r"\s+", re.ASCII)
-    hs = frozenset(eval_hashes)
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        bc = spark.sparkContext.broadcast(frozenset(eval_hashes))
+        hs_local = None
+    else:
+        bc = None
+        hs_local = frozenset(eval_hashes)
 
-    def _flag(t: str | None) -> bool:
+    def _flag(t: str | None, hs: frozenset) -> bool:
         s = ws.sub(" ", (t or "").lower()).strip()
         toks = s.split(" ")
         for i in range(max(len(toks) - n + 1, 0)):
@@ -86,7 +119,8 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
 
     @pandas_udf("boolean")
     def udf(texts: pd.Series) -> pd.Series:
-        return texts.map(_flag)
+        hs = bc.value if bc is not None else hs_local
+        return texts.map(lambda t: _flag(t, hs))
 
     return udf
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MERSENNE31 = 2147483647
 
@@ -373,7 +374,17 @@ def connected_components(
       to ``localCheckpoint``.  Either way the lineage is truncated each
       round so the plan stays O(1);
     * the result (min id per component) is ITERATION-ORDER INDEPENDENT, so
-      it is oracle-checkable against a recursive-CTE ground truth.
+      it is oracle-checkable against a recursive-CTE ground truth;
+    * NON-INTEGRAL ids (strings, fractional numerics) are DENSELY ENCODED
+      to unique longs up front (``monotonically_increasing_id`` on the
+      frozen node table -- two one-time joins on the edge list), the
+      iteration runs entirely on longs, and the final labels are decoded
+      with a groupBy-min over the ORIGINAL ids so the contract (component
+      = min original id, matching a recursive-CTE oracle) is unchanged.
+      This keeps the O(1) sum probe exact (a decimal sum over string
+      labels is NULL and would falsely report convergence after one
+      round) AND shrinks every per-round shuffle to 8-byte keys -- at
+      100 TB the iteration moves longs, never document ids.
 
     Raises if not converged within ``max_iters`` -- silent partial labels
     would be wrong-but-plausible, the worst failure mode for dedup.
@@ -391,6 +402,13 @@ def connected_components(
             p = _jvm.org.apache.hadoop.fs.Path(path)
             p.getFileSystem(_hconf).delete(p, True)
 
+        def _freeze(d: DataFrame, name: str) -> DataFrame:
+            # durable snapshot OUTSIDE the superseded-round deletion chain
+            # (the node-id mapping must outlive every label round)
+            path = f"{run_dir}/{name}"
+            d.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
         def _ckpt(d: DataFrame) -> DataFrame:
             path = f"{run_dir}/labels_{_state['i']}"
             _state["i"] += 1
@@ -400,23 +418,72 @@ def connected_components(
             _state["prev"] = path
             return spark.read.parquet(path)
     else:
+        _freeze = lambda d, name: d.localCheckpoint(eager=True)  # noqa: E731
         _ckpt = lambda d: d.localCheckpoint(eager=True)  # noqa: E731
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
-    )
-    labels = _ckpt(
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-    )
-    # decimal(38,0) sum cannot overflow for < ~1e19 rows of long labels
-    _sig = lambda d: d.agg(  # noqa: E731
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-    ).first()
-    prev = _sig(labels)
+    id_type = edges.schema["id_a"].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(id_type, T.DecimalType) and id_type.scale == 0)
+    # Constraint propagation is DISABLED for the iteration: checkpointed
+    # relations (LogicalRDD) retain origin isNotNull constraints over
+    # attributes the surrounding projections have pruned, and Spark's
+    # Union constraint rewriting then dies with
+    # "java.util.NoSuchElementException: key not found: id#N" once the
+    # encoded-edge lineage meets the pointer-jump self-join.  The rule
+    # infers filters this loop never benefits from (there are no filters
+    # to push), so turning it off is pure robustness; it is restored in
+    # the finally, after the result has been materialized.
+    spark_s = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    _cp_prev = spark_s.conf.get(_CP, None)
+    spark_s.conf.set(_CP, "false")
+    sym = None
     try:
+        nodes: DataFrame | None = None
+        if not integral:
+            # encode: one unique long per node, frozen (materialized) so
+            # the assignment can never re-derive differently mid-iteration
+            nodes = _freeze(
+                edges.select(F.col("id_a").alias("orig"))
+                .union(edges.select(F.col("id_b").alias("orig")))
+                .distinct()
+                .withColumn("nid", F.monotonically_increasing_id()),
+                "nodes",
+            )
+            # freeze the encoded edge list too: a nodes self-join in the
+            # per-round lineage would re-plan every iteration
+            edges = _freeze(
+                edges.join(
+                    nodes.select(
+                        F.col("orig").alias("id_a"), F.col("nid").alias("_na")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    nodes.select(
+                        F.col("orig").alias("id_b"), F.col("nid").alias("_nb")
+                    ),
+                    "id_b",
+                )
+                .select(F.col("_na").alias("id_a"), F.col("_nb").alias("id_b")),
+                "edges_encoded",
+            )
+        sym = (
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+            .persist()
+        )
+        labels = _ckpt(
+            sym.select(F.col("src").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
+        )
+        # decimal(38,0) sum cannot overflow for < ~1e19 rows of long labels
+        # (labels are ALWAYS integral here: non-integral ids were encoded)
+        _sig = lambda d: d.agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        prev = _sig(labels)
         for it in range(max_iters):
             msgs = sym.join(
                 labels.select(F.col("id").alias("src"), "label"), "src"
@@ -442,10 +509,33 @@ def connected_components(
             labels = _ckpt(new)
             cur = _sig(labels)
             if cur == prev:
-                return labels.withColumnRenamed("label", "component")
+                out = labels.withColumnRenamed("label", "component")
+                if nodes is not None:
+                    # decode: component = MIN ORIGINAL id per component --
+                    # order-free (no requirement that nid order track id
+                    # order), two shuffles total, fully distributed.
+                    # Materialized via _ckpt so the caller consumes a flat
+                    # relation, not a plan that must re-optimize the
+                    # decode joins after constraint propagation returns.
+                    decoded = out.join(nodes.withColumnRenamed("nid", "id"), "id")
+                    rep = decoded.groupBy("component").agg(
+                        F.min("orig").alias("_rep")
+                    )
+                    out = _ckpt(
+                        decoded.join(rep, "component").select(
+                            F.col("orig").alias("id"),
+                            F.col("_rep").alias("component"),
+                        )
+                    )
+                return out
             prev = cur
     finally:
-        sym.unpersist()
+        if _cp_prev is None:
+            spark_s.conf.unset(_CP)
+        else:
+            spark_s.conf.set(_CP, _cp_prev)
+        if sym is not None:
+            sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 
 

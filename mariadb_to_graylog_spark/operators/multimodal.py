@@ -125,19 +125,39 @@ def _video_params(n_text: int) -> tuple[int, int, int]:
     return n_text % 32 + 8, n_text % 24 + 6, n_text % 12 + 2
 
 
-def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def attach_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_null_id: str = "error",
+) -> DataFrame:
     """Deterministic media table from a text corpus: REAL minimal PNG
     (doc_id%3==0) / PCM WAV (==1) / animated GIF (==2, the video stand-in
     -- a frame-structured container stdlib can both write and walk)
     payloads whose header parameters are closed-form functions of
     (utf-8 byte length, id).
 
-    Rows with a NULL id are dropped up front (media identity requires an
-    id; inside the Arrow batch a null long arrives as NaN and int() would
-    abort the task); NULL/NaN text generates an empty payload body."""
+    Media identity requires an id (inside the Arrow batch a null long
+    arrives as NaN and int() would abort the task), so NULL-id rows
+    cannot produce media.  ``on_null_id`` makes the loss OBSERVABLE
+    instead of silent: ``"error"`` (default) fails the task with the
+    per-batch null count in the message; ``"drop"`` opts into dropping
+    them (the caller has decided null ids are expected).  NULL/NaN text
+    generates an empty payload body."""
+    if on_null_id not in ("error", "drop"):
+        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mask = pdf[id_col].isna()
+            if mask.any():
+                if on_null_id == "error":
+                    raise ValueError(
+                        f"attach_payload: {int(mask.sum())} row(s) with NULL "
+                        f"{id_col!r} in batch; media identity requires an id "
+                        f"(pass on_null_id='drop' to drop them)"
+                    )
+                pdf = pdf[~mask]
             out_rows = []
             for mid, text in zip(pdf[id_col], pdf[text_col]):
                 mid = int(mid)
@@ -162,7 +182,6 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     return (
         df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
-        .filter(F.col(id_col).isNotNull())
         .mapInPandas(_gen, schema=MEDIA_SCHEMA)
     )
 

@@ -110,8 +110,10 @@ def rolling_hash_shingles(c: Column, window: int = 8, base: int = 31, mod: int =
     """Rabin-Karp-style rolling hashes of character windows (document
     fingerprinting / winnowing building block).  Expressed as a
     higher-order fold per window -- no Python.  DuckDB twin: nested
-    list_transform/list_reduce in ORACLE_WINNOW_OVERLAP (list_reduce's
-    first-element seed equals this 0-seed fold because ascii < modulus)."""
+    list_transform/list_reduce in ORACLE_WINNOW_OVERLAP, 0-seeded via
+    list_prepend(0, ...) so the fold is bit-identical for ALL codepoints
+    (a first-element seed would skip the first `% mod` step and diverge
+    on codepoints >= the modulus, planes 15-16 private use)."""
 
     def _hashes(codes: Column) -> Column:
         return F.transform(

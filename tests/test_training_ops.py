@@ -240,6 +240,66 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert len(snaps) == 1, snaps
 
 
+def test_connected_components_string_ids(spark, tmp_path):
+    """Non-integral ids must NOT fool the label-sum convergence probe (a
+    decimal sum over string labels is NULL every round, which would look
+    'converged' after round one and silently return partial components):
+    string ids are densely encoded to longs, iterated, and decoded back to
+    component = MIN ORIGINAL id -- the recursive-CTE contract."""
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+    # reliable-checkpoint path: the node-id mapping is a durable snapshot
+    # OUTSIDE the superseded-round deletion chain, so it must survive to
+    # the final decode
+    comp2 = {
+        r.id: r.component
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_str")
+        ).collect()
+    }
+    assert comp2 == comp
+
+
+def test_connected_components_string_chain_pointer_jump(spark):
+    """Deep chain with STRING ids: the pointer jump operates on the encoded
+    longs and must still converge in a logarithmic round budget."""
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(120)],
+        "id_a string, id_b string",
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(edges, max_iters=25).collect()
+    }
+    assert len(comp) == 121 and set(comp.values()) == {"n0000"}
+
+
+def test_near_dedup_groups_string_ids(spark):
+    """End-to-end groups path with string doc ids (the winnow_overlap ->
+    near_dedup_groups route preserves string ids)."""
+    from mariadb_to_graylog_spark.operators.dedup import near_dedup_groups
+
+    ids = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", "z"]], "doc_id string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in near_dedup_groups(ids, edges, id_col="doc_id").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
 def test_planted_fp_candidate_only_verified_edges_safe(spark):
     """A single false-positive LSH candidate edge transitively merges two
     unrelated dup-clusters under connected components; verification kills
@@ -823,6 +883,84 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(fixed) == (11000, 2, 16)
     assert parse_wav_header(wav[:11]) is None
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
+
+
+def test_eval_gram_set_size_guard(spark, docs):
+    """The 'eval corpus is small' contract is enforced: over the cap the
+    collect never happens and the error names the contract; under the cap
+    the set comes back as before."""
+    from mariadb_to_graylog_spark.operators.decontam import eval_gram_set
+
+    ev = docs.limit(20)
+    hs = eval_gram_set(ev, n=13)
+    assert hs and all(isinstance(h, int) for h in hs)
+    with pytest.raises(ValueError, match="eval corpus must be small"):
+        eval_gram_set(ev, n=13, max_hashes=3)
+
+
+def test_attach_payload_null_id_policy(spark):
+    """NULL-id rows can't produce media; the loss must be OBSERVABLE:
+    default policy fails the job with the count in the message,
+    on_null_id='drop' is the explicit opt-in."""
+    from py4j.protocol import Py4JJavaError
+
+    from mariadb_to_graylog_spark.operators.multimodal import attach_payload
+
+    d = spark.createDataFrame(
+        [(1, "hello"), (None, "orphan"), (2, "world")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL 'doc_id'"):
+        attach_payload(d).collect()
+    kept = attach_payload(d, on_null_id="drop").collect()
+    assert sorted(r.media_id for r in kept) == [1, 2]
+    with pytest.raises(ValueError, match="on_null_id"):
+        attach_payload(d, on_null_id="ignore")
+
+
+def test_rolling_hash_oracle_seed_high_codepoints(spark):
+    """DuckDB-oracle fold parity for codepoints >= the modulus (planes
+    15-16 private use): list_reduce's first-element seed skips the first
+    `% mod` step on SINGLE-element folds (1-char windows), so the oracle
+    now prepends an explicit 0 seed.  Spark HOF fold, numpy kernel, and
+    the DuckDB expression must return identical integers."""
+    import duckdb
+
+    from mariadb_to_graylog_spark.operators.textstats import (
+        rolling_hash_shingles,
+        winnow_sketch_py,
+    )
+
+    for s in ["\U00100000", "\U00100000bcdefghij"]:
+        spark_hs = (
+            spark.createDataFrame([(s,)], "text string")
+            .select(rolling_hash_shingles(F.col("text")).alias("hs"))
+            .first()
+            .hs
+        )
+        duck_hs = duckdb.execute(
+            """
+            SELECT list_transform(
+              range(1, greatest(length(s) - 7, 1) + 1),
+              i -> list_reduce(
+                     list_prepend(0, list_transform(
+                        range(1, length(substr(s, CAST(i AS INT), 8)) + 1),
+                        j -> CAST(ascii(substr(substr(s, CAST(i AS INT), 8),
+                                              CAST(j AS INT), 1)) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000003)) AS hs
+            FROM (SELECT ?::VARCHAR AS s)
+            """,
+            [s],
+        ).fetchone()[0]
+        assert spark_hs == duck_hs, s
+        # the numpy kernel agrees: its sketch equals the stride-min +
+        # stable-distinct of the very same hash list
+        expected_sketch = list(
+            dict.fromkeys(
+                min(spark_hs[k : k + 4]) for k in range(0, len(spark_hs), 4)
+            )
+        )
+        assert winnow_sketch_py(s) == expected_sketch, s
 
 
 def test_streaming_pipeline(spark, transcripts, tmp_path):
