@@ -676,6 +676,7 @@ LOG_ORACLES = {
 # ---------------------------------------------------------------------------
 
 from mariadb_to_graylog_spark.operators import dedup as dd  # noqa: E402
+from mariadb_to_graylog_spark.operators import paragraphs as pg  # noqa: E402
 from mariadb_to_graylog_spark.operators import similarity as sim  # noqa: E402
 from mariadb_to_graylog_spark.operators import textstats as tx  # noqa: E402
 
@@ -1663,6 +1664,245 @@ WHERE round(CAST(shared AS DOUBLE) / least(sz_a, sz_b), 6) >= 0.5
 """
 
 
+def docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic planted URLs (the corpus has none):
+    a per-source page URL, a subdomained mirror with a port, and a
+    per-lang asset on a second registrable domain -- exercises extraction,
+    host parsing, and the two-label domain fold."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Read https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" mirror http://cdn."), F.col("source"),
+            F.lit(".example.com:8080/d/"), F.col("doc_id").cast("string"),
+            F.lit(" img https://img-"), F.col("lang"),
+            F.lit(".example.org/x.png"),
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+_SQL_URL_DOCS = """
+  SELECT doc_id,
+         text || ' Read https://' || source || '.example.com/d/' || doc_id ||
+         ' mirror http://cdn.' || source || '.example.com:8080/d/' || doc_id ||
+         ' img https://img-' || lang || '.example.org/x.png' AS text
+  FROM documents
+"""
+
+
+def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain harvest: per-doc URL count + sorted-distinct hosts and
+    registrable domains (C4/RefinedWeb-style source signal input)."""
+    d = docs_with_urls(spark, sf_dir)
+    return tx.url_features(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_urls",
+        "hosts",
+        "domains",
+    )
+
+
+_SQL_HOST = "regexp_extract(x, 'https?://([A-Za-z0-9.\\-]+)', 1)"
+
+ORACLE_URL_EXTRACT = f"""
+WITH d AS ({_SQL_URL_DOCS}),
+u AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '(https?://[A-Za-z0-9.\\-]+(?::\\d+)?(?:/[^\\s]*)?)', 1) AS urls
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(urls) AS BIGINT) AS n_urls,
+       array_to_string(list_sort(list_distinct(list_transform(urls,
+         x -> {_SQL_HOST}))), ',') AS hosts,
+       array_to_string(list_sort(list_distinct(list_transform(urls,
+         x -> array_to_string(list_slice(str_split({_SQL_HOST}, '.'),
+                greatest(len(str_split({_SQL_HOST}, '.')) - 1, 1),
+                99), '.')))), ',') AS domains
+FROM u
+"""
+
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation (doc counts, verbatim-dup rate, mean chars,
+    stopword ratio) joined back to every document as features."""
+    d = _documents(spark, sf_dir)
+    return tx.source_reputation(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "src_n_docs",
+        "src_dup_rate",
+        "src_mean_chars",
+        "src_stop_ratio",
+    )
+
+
+ORACLE_SOURCE_REPUTATION = f"""
+WITH s AS (
+  SELECT doc_id, source, md5(text) AS h, length(text) AS chars,
+         len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok,
+         len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS stop
+  FROM documents
+),
+src AS (
+  SELECT source, COUNT(*) AS n, COUNT(DISTINCT h) AS nd, SUM(chars) AS sc,
+         SUM(tok) AS st, SUM(stop) AS ss
+  FROM s GROUP BY source
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.source,
+       CAST(n AS BIGINT) AS src_n_docs,
+       round(CAST(n - nd AS DOUBLE)/n, 6) AS src_dup_rate,
+       round(CAST(sc AS DOUBLE)/n, 6) AS src_mean_chars,
+       round(CAST(ss AS DOUBLE)/greatest(st, 1), 6) AS src_stop_ratio
+FROM s JOIN src USING (source)
+"""
+
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the containment corpus: excerpt docs
+    must pair with their verbatim sources, duplicate docs with each other;
+    n_shared_grams counts shared 15-token windows."""
+    d = docs_with_excerpts(spark, sf_dir)
+    return dd.shared_ngram_pairs(d, n=15).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
+ORACLE_SUBSTRING_PAIRS = f"""
+WITH d AS ({_SQL_EXCERPTS}),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 14, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 14),
+           ' ')), 1, 8) AS BIGINT)
+  )) AS grams
+  FROM s
+),
+e AS (SELECT doc_id, unnest(grams) AS h FROM g)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents restructured into paragraph-shaped pages: the text's two
+    halves plus a PLANTED per-language boilerplate footer ('subscribe'
+    line) -- the shape whole-doc dedup misses: every doc is unique as a
+    whole, yet one paragraph repeats across the whole language slice."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.trim(F.substring("text", 1, 100)),
+            F.trim(F.expr("substring(text, 101)")),
+            F.concat(
+                F.lit("Subscribe to the "),
+                F.col("lang"),
+                F.lit(" newsletter for updates."),
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+_SQL_PARA_DOCS = """
+  SELECT doc_id,
+         concat_ws(chr(10)||chr(10),
+                   trim(substr(text, 1, 100)),
+                   trim(substr(text, 101)),
+                   'Subscribe to the ' || lang || ' newsletter for updates.') AS text
+  FROM documents
+"""
+
+
+def q_paragraph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup profile: dup-paragraph ratio + boilerplate
+    fraction per document (paragraph appears in >= 2 distinct docs)."""
+    d = docs_with_paragraphs(spark, sf_dir)
+    return pg.paragraph_stats(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dup_paras").cast("long").alias("n_dup_paras"),
+        "dup_para_ratio",
+        "boilerplate_frac",
+    )
+
+
+ORACLE_PARAGRAPH_STATS = f"""
+WITH d AS ({_SQL_PARA_DOCS}),
+p AS (
+  SELECT doc_id, trim(para) AS para
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS para FROM d)
+  WHERE length(trim(para)) > 0
+),
+f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_para_ratio,
+       round(sum(CASE WHEN n_docs >= 2 THEN length(para) ELSE 0 END)::DOUBLE
+             / sum(length(para)), 6) AS boilerplate_frac
+FROM p JOIN f ON md5(p.para) = f.h
+GROUP BY p.doc_id
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: documents reassembled without the paragraphs
+    shared by >= 2 distinct docs (the planted footer must vanish from
+    every document; unique halves survive in order)."""
+    d = docs_with_paragraphs(spark, sf_dir)
+    return pg.drop_duplicate_paragraphs(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+# string_agg(... ORDER BY para_idx) mirrors the Spark sort_array-of-structs
+# reassembly; the struct-list unnest gives DuckDB the paragraph ordinal
+ORACLE_PARAGRAPH_DEDUP = (
+    """
+WITH d AS ("""
+    + _SQL_PARA_DOCS
+    + """),
+p AS (
+  SELECT doc_id, u.para_idx AS para_idx, u.para AS para FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(parts)+1),
+             i -> {'para_idx': i-1, 'para': trim(parts[CAST(i AS INT)])})) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\n\\s*\\n') AS parts FROM d)
+  )
+  WHERE length(para) > 0
+),
+f AS (SELECT md5(para) AS h, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1),
+j AS (SELECT p.*, f.n_docs FROM p JOIN f ON md5(p.para) = f.h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(string_agg(CASE WHEN n_docs < 2 THEN para END,
+                           chr(10)||chr(10) ORDER BY para_idx), '') AS clean_text,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM j GROUP BY doc_id
+"""
+)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 13th document plays the leaked
     eval set; any document sharing a 13-word window with it is flagged.
@@ -1921,6 +2161,11 @@ TRAINING_QUERIES = {
     "sample_det": q_sample_det,
     "sample_stratified": q_sample_stratified,
     "winnow_overlap": q_winnow_overlap,
+    "url_extract": q_url_extract,
+    "source_reputation": q_source_reputation,
+    "substring_pairs": q_substring_pairs,
+    "paragraph_stats": q_paragraph_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
     "curation_pipeline": q_curation_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -1953,6 +2198,11 @@ TRAINING_ORACLES = {
     "sample_det": ORACLE_SAMPLE_DET,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
+    "url_extract": ORACLE_URL_EXTRACT,
+    "source_reputation": ORACLE_SOURCE_REPUTATION,
+    "substring_pairs": ORACLE_SUBSTRING_PAIRS,
+    "paragraph_stats": ORACLE_PARAGRAPH_STATS,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,

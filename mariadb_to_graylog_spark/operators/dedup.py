@@ -209,6 +209,50 @@ def _bucket_pairs(
     )
 
 
+def shared_ngram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT substring dedup, Lee et al. "Deduplicating Training Data"
+    shape: two documents share a VERBATIM run of >= ``n`` tokens iff they
+    share at least one ``n``-token gram, so the pair set is a bucket join
+    on gram hashes.  (id_a, id_b, n_shared_grams) per pair -- a shared run
+    of length L >= n contributes L - n + 1 grams, so n_shared_grams is a
+    proxy for total verbatim overlap; maximal run EXTENTS (the suffix-array
+    output) need a second, pair-local pass, cheap because the pair set is
+    tiny relative to the corpus.
+
+    This is ``decontam.word_ngram_hashes`` generalized from
+    eval-vs-corpus to CORPUS-VS-CORPUS: nothing is broadcast or
+    collected -- grams are computed map-side with higher-order functions
+    and the only shuffle carries (8-byte gram hash, id) tuples, never
+    text.  ``max_bucket_size`` drops degenerate grams (boilerplate shared
+    by thousands of docs would emit B^2/2 pairs; such a gram is a CLUSTER
+    signal, not a pair signal -- route it through paragraph/exact dedup)."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    if max_bucket_size is not None:
+        sizes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        grams = grams.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size), "h"
+        ).drop("_bn")
+    a = grams.select(F.col("id").alias("id_a"), "h")
+    b = grams.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -336,10 +380,27 @@ def connected_components(
     max_iters: int = 50,
     checkpoint_dir: str | None = None,
     jump_after: int = 4,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every node in the edge list, component = MIN id
-    reachable -- the standard large-graph min-label propagation (GraphX/
-    Pregel CC), as DataFrame iterations:
+    reachable.  ``algorithm`` selects the iteration scheme behind the same
+    contract (identical output, tested equal):
+
+    * ``"label"`` (default) -- min-label propagation with adaptive pointer
+      jumping, described below;
+    * ``"star"`` -- alternating LARGE-STAR / SMALL-STAR contraction (the
+      Kiveris et al. "Connected Components in MapReduce and Beyond"
+      scheme): each round rewires every node's strictly-larger neighbors
+      (large-star), then its smaller neighbors plus itself (small-star),
+      to the neighborhood minimum.  The EDGE SET itself contracts toward
+      one star per component, so round cost SHRINKS as the graph
+      collapses (label propagation re-joins the full edge list every
+      round); convergence is O(log^2 n) rounds on any graph with no
+      pointer-jump special case.  Measured head-to-head in
+      BENCH/DEDUP.md (tools/bench_dedup_scale.py --cc-compare); label
+      propagation stays the default on dedup-shaped (shallow) graphs.
+
+    The label scheme, per round:
 
     * each round: ONE shuffle join (labels into the symmetric edge list),
       ONE groupBy-min over (neighbor messages UNION own label) -- the
@@ -468,6 +529,90 @@ def connected_components(
                 .select(F.col("_na").alias("id_a"), F.col("_nb").alias("id_b")),
                 "edges_encoded",
             )
+        def _finish(out: DataFrame) -> DataFrame:
+            # decode (non-integral ids): component = MIN ORIGINAL id per
+            # component -- order-free (no requirement that nid order track
+            # id order), two shuffles, fully distributed.  Materialized
+            # via _ckpt so the caller consumes a flat relation, not a plan
+            # that must re-optimize after constraint propagation returns.
+            if nodes is None:
+                return out
+            decoded = out.join(nodes.withColumnRenamed("nid", "id"), "id")
+            rep = decoded.groupBy("component").agg(F.min("orig").alias("_rep"))
+            return _ckpt(
+                decoded.join(rep, "component").select(
+                    F.col("orig").alias("id"), F.col("_rep").alias("component")
+                )
+            )
+
+        if algorithm == "star":
+            E = _ckpt(
+                edges.filter(F.col("id_a") != F.col("id_b"))
+                .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+                .distinct()
+            )
+
+            def _star(e: DataFrame, large: bool) -> DataFrame:
+                # symmetric neighborhoods; m = min(N(u) + {u}); large-star
+                # rewires strictly-larger neighbors to m, small-star the
+                # smaller ones plus u itself (self-loops dropped)
+                s = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+                    e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+                )
+                j = s.join(s.groupBy("u").agg(F.min("v").alias("_mn")), "u")
+                m = F.least(F.col("_mn"), F.col("u"))
+                if large:
+                    out = j.filter(F.col("v") > F.col("u")).select(
+                        F.col("v").alias("a"), m.alias("b")
+                    )
+                else:
+                    out = j.filter(F.col("v") < F.col("u")).select(
+                        F.col("v").alias("a"), m.alias("b")
+                    ).union(j.select(F.col("u").alias("a"), m.alias("b")))
+                return out.filter(F.col("a") != F.col("b")).distinct()
+
+            # convergence = the (count, sum a, sum b) triple is stationary:
+            # both stars replace endpoints by neighborhood minima, so the
+            # edge multiset only contracts; at the star fixpoint a
+            # large+small round is the identity and the triple freezes
+            _esig = lambda d: d.agg(  # noqa: E731
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+                F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+            ).first()
+            prev_e = _esig(E)
+            for _ in range(max_iters):
+                E = _ckpt(_star(_star(E, True), False))
+                cur_e = _esig(E)
+                if cur_e == prev_e:
+                    labels = (
+                        E.select(F.col("a").alias("id"), F.col("b").alias("label"))
+                        .union(
+                            E.select(F.col("b").alias("id"), F.col("b").alias("label"))
+                        )
+                        .groupBy("id")
+                        .agg(F.min("label").alias("label"))
+                    )
+                    # nodes whose only edges were self-pairs vanished with
+                    # the self-loop filter; restore them as singletons so
+                    # both algorithms label every node in the edge list
+                    all_nodes = (
+                        edges.select(F.col("id_a").alias("id"))
+                        .union(edges.select(F.col("id_b").alias("id")))
+                        .distinct()
+                    )
+                    labels = all_nodes.join(labels, "id", "left").select(
+                        "id", F.coalesce("label", F.col("id")).alias("label")
+                    )
+                    return _finish(
+                        _ckpt(labels).withColumnRenamed("label", "component")
+                    )
+                prev_e = cur_e
+            raise RuntimeError(
+                f"connected_components(star) did not converge in {max_iters} rounds"
+            )
+        if algorithm != "label":
+            raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
         sym = (
             edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -509,25 +654,7 @@ def connected_components(
             labels = _ckpt(new)
             cur = _sig(labels)
             if cur == prev:
-                out = labels.withColumnRenamed("label", "component")
-                if nodes is not None:
-                    # decode: component = MIN ORIGINAL id per component --
-                    # order-free (no requirement that nid order track id
-                    # order), two shuffles total, fully distributed.
-                    # Materialized via _ckpt so the caller consumes a flat
-                    # relation, not a plan that must re-optimize the
-                    # decode joins after constraint propagation returns.
-                    decoded = out.join(nodes.withColumnRenamed("nid", "id"), "id")
-                    rep = decoded.groupBy("component").agg(
-                        F.min("orig").alias("_rep")
-                    )
-                    out = _ckpt(
-                        decoded.join(rep, "component").select(
-                            F.col("orig").alias("id"),
-                            F.col("_rep").alias("component"),
-                        )
-                    )
-                return out
+                return _finish(labels.withColumnRenamed("label", "component"))
             prev = cur
     finally:
         if _cp_prev is None:

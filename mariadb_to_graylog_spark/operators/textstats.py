@@ -339,3 +339,120 @@ def token_length_percentiles(
         for i, p in enumerate(ps)
     ]
     return agg.select(by, "n_docs", "mean_tokens", *cols)
+
+
+# --- URL / domain extraction + per-source reputation ------------------------
+
+# one capture group, RE2/Java-portable (no lookarounds): scheme + host
+# (letters/digits/dots/dashes, optional port) + optional path of
+# non-whitespace -- the C4/RefinedWeb-style URL harvest, not a full RFC
+# 3986 parser
+URL_PATTERN = r"(https?://[A-Za-z0-9.\-]+(?::\d+)?(?:/[^\s]*)?)"
+HOST_PATTERN = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def extract_urls(c: Column) -> Column:
+    """All URLs in the text, in order of appearance."""
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 1)
+
+
+def url_host(u: Column) -> Column:
+    """Hostname of one URL ('' if the value is not a URL)."""
+    return F.regexp_extract(u, HOST_PATTERN, 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two dot-labels of a hostname (cdn.assets.example.com ->
+    example.com; a bare single-label host maps to itself).  A public
+    suffix list would refine co.uk-style TLDs; the two-label fold is the
+    deterministic, dependency-free default."""
+
+    def _fold(parts: Column) -> Column:
+        return F.array_join(
+            F.slice(parts, F.greatest(F.size(parts) - 1, F.lit(1)), 2), "."
+        )
+
+    return bind_once(F.split(host, r"\."), _fold)
+
+
+def url_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_urls, hosts, domains) per document: URL count plus the
+    sorted-distinct host and registrable-domain lists as ','-joined
+    strings (join-stable for oracle hashing).  Entirely map-side -- one
+    regexp pass bound once, higher-order transforms over the match list,
+    no shuffle at all."""
+
+    def _feats(urls: Column) -> Column:
+        hosts = F.array_sort(F.array_distinct(F.transform(urls, url_host)))
+        doms = F.array_sort(
+            F.array_distinct(
+                F.transform(urls, lambda u: registrable_domain(url_host(u)))
+            )
+        )
+        return F.struct(
+            F.size(urls).cast("long").alias("n_urls"),
+            F.array_join(hosts, ",").alias("hosts"),
+            F.array_join(doms, ",").alias("domains"),
+        )
+
+    # bind the regexp match list once (HOFs have no CSE; see bind_once)
+    feats = bind_once(extract_urls(F.col(text_col)), _feats)
+    return df.select(F.col(id_col).alias("doc_id"), feats.alias("_f")).select(
+        "doc_id", "_f.n_urls", "_f.hosts", "_f.domains"
+    )
+
+
+def source_reputation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source reputation signals joined back to every document (the
+    C4/RefinedWeb-style source-quality feature):
+
+    (doc_id, source, src_n_docs, src_dup_rate, src_mean_chars,
+     src_stop_ratio)
+
+    * dup_rate   = 1 - distinct(md5(text))/n  (verbatim-dup share)
+    * mean_chars = chars/doc
+    * stop_ratio = english stopword tokens / all tokens
+
+    All ratios are single divisions of EXACT integer sums, so the values
+    are bit-stable under any aggregation order (a mean of per-doc doubles
+    would be fp-order-dependent and break oracle hashing).  The source
+    table is tiny by definition (sources << documents), so the join back
+    is an explicit broadcast -- zero shuffle of the document side."""
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        token_count(F.col(text_col)).alias("_tok"),
+        stopword_count(F.col(text_col), "en").alias("_stop"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_n_docs"),
+        F.count_distinct("_h").alias("_nd"),
+        F.sum("_chars").alias("_sc"),
+        F.sum("_tok").alias("_st"),
+        F.sum("_stop").alias("_ss"),
+    ).select(
+        "source",
+        "src_n_docs",
+        F.round(
+            (F.col("src_n_docs") - F.col("_nd")).cast("double")
+            / F.col("src_n_docs"),
+            6,
+        ).alias("src_dup_rate"),
+        F.round(
+            F.col("_sc").cast("double") / F.col("src_n_docs"), 6
+        ).alias("src_mean_chars"),
+        F.round(
+            F.col("_ss").cast("double") / F.greatest("_st", F.lit(1)), 6
+        ).alias("src_stop_ratio"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")).join(
+        F.broadcast(src), "source"
+    ).select("doc_id", "source", "src_n_docs", "src_dup_rate", "src_mean_chars", "src_stop_ratio")

@@ -7,9 +7,10 @@ data).
 Streaming-specific shapes:
 
 * **Dedup is stateful**: ``dropDuplicates`` on the md5 text key keeps one
-  32-char hash per distinct document ever seen (unbounded but tiny state;
-  at 10^12 docs shard the state store or window the guarantee with
-  ``dropDuplicatesWithinWatermark`` once documents carry event time).
+  32-char hash per distinct document ever seen (unbounded but tiny state).
+  When documents carry event time, ``curate_watermarked`` bounds the state
+  with ``dropDuplicatesWithinWatermark`` -- the 10^12-doc ingest shape,
+  trading re-admission of out-of-window dups (see its docstring).
 * **Decontamination is stateless**: the eval corpus is small by
   definition, so its distinct gram-hash set broadcasts into an Arrow UDF
   (``contamination_flag_udf``) -- no explode, no aggregation, no shuffle,
@@ -42,6 +43,43 @@ def curate(
     return (
         docs.withColumn("_h", F.md5("text"))
         .dropDuplicates(["_h"])
+        .withColumn("quality", tx.quality_score(F.col("text")))
+        .withColumn("contaminated", flag(F.col("text")))
+        .withColumn(
+            "decision",
+            F.when(F.col("contaminated"), "contaminated")
+            .when(F.col("quality") < quality_threshold, "low_quality")
+            .otherwise("kept"),
+        )
+        .drop("_h")
+    )
+
+
+def curate_watermarked(
+    docs: DataFrame,
+    eval_hashes: set[int],
+    quality_threshold: float = 0.5,
+    n: int = 13,
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """``curate`` with BOUNDED dedup state: ``dropDuplicatesWithinWatermark``
+    on the md5 text key evicts a document's dedup record once the
+    watermark (max event time - ``delay``) passes its event time, so
+    state is O(docs per delay window) instead of O(all docs ever seen).
+
+    The traded-away guarantee is explicit: a duplicate arriving AFTER its
+    original's state was evicted is RE-ADMITTED (tested).  That is the
+    right trade at ingest scale -- streams deliver dups in bursts
+    (retries, double-polls) that land well inside any sane window, and
+    the global guarantee belongs to the periodic BATCH dedup pass over
+    the accumulated table, not the ingest path.  The unbounded ``curate``
+    remains the default for streams small enough to afford exact state."""
+    flag = contamination_flag_udf(eval_hashes, n)
+    return (
+        docs.withWatermark(event_time_col, delay)
+        .withColumn("_h", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["_h"])
         .withColumn("quality", tx.quality_score(F.col("text")))
         .withColumn("contaminated", flag(F.col("text")))
         .withColumn(

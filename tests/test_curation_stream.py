@@ -120,3 +120,77 @@ def test_streaming_curation_matches_batch_and_dedups_across_batches(
     }
     for k, (_, c) in got.items():
         assert agg[k] == c
+
+
+def test_watermarked_curation_bounds_state_and_readmits_out_of_window(
+    spark, tmp_path
+):
+    """curate_watermarked: an IN-window duplicate is dropped; a duplicate
+    arriving after the original's state aged out of the watermark window
+    is RE-ADMITTED -- the documented trade for bounded state."""
+    from datetime import datetime
+
+    from mariadb_to_graylog_spark.streaming.curation_stream import (
+        curate_watermarked,
+    )
+
+    schema = "doc_id long, text string, ts timestamp"
+
+    def _ts(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    src = str(tmp_path / "src")
+    b1 = [(1, GOOD + " original", _ts(0))]
+    # dup inside the 10-minute window -> dropped; doc 3 pushes the
+    # watermark to 10:20
+    b2 = [(2, GOOD + " original", _ts(5)), (3, GOOD + " fresh", _ts(30))]
+    # doc 1's state expired at 10:10 < watermark 10:20 -> dup re-admitted
+    b3 = [(4, GOOD + " original", _ts(21))]
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        curate_watermarked(stream, set(), delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .outputMode("append")
+        .start()
+    )
+
+    import time as _t
+
+    def _wait_rows(n):
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            _t.sleep(1)
+        raise AssertionError(f"timed out waiting for {n} output rows")
+
+    _wait_rows(1)
+    _t.sleep(1.2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    _wait_rows(2)
+    _t.sleep(1.2)
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    _wait_rows(3)
+    q.stop()
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 2 dropped (in-window dup), 4 re-admitted (out-of-window dup)
+    assert ids == [1, 3, 4]

@@ -282,6 +282,45 @@ def test_connected_components_string_chain_pointer_jump(spark):
     assert len(comp) == 121 and set(comp.values()) == {"n0000"}
 
 
+def test_connected_components_star_equals_label(spark):
+    """Large-star/small-star contraction must produce IDENTICAL labels to
+    min-label propagation on chain + clique + bridged + singleton-self
+    shapes, for integral AND string ids."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges_int = (
+        [(i, i + 1) for i in range(40)]  # chain
+        + [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]  # clique
+        + [(40, 100)]  # bridge: chain and clique merge
+        + [(500, 500)]  # self-pair -> singleton
+        + [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(60)]
+    )
+    d = spark.createDataFrame(edges_int, "id_a long, id_b long")
+    lab = {r.id: r.component for r in connected_components(d).collect()}
+    star = {
+        r.id: r.component
+        for r in connected_components(d, algorithm="star").collect()
+    }
+    assert star == lab
+    assert star[500] == 500 and star[105] == 0  # bridged into the chain's min
+
+    d_s = spark.createDataFrame(
+        [(f"k{a:03d}", f"k{b:03d}") for a, b in edges_int],
+        "id_a string, id_b string",
+    )
+    lab_s = {r.id: r.component for r in connected_components(d_s).collect()}
+    star_s = {
+        r.id: r.component
+        for r in connected_components(d_s, algorithm="star").collect()
+    }
+    assert star_s == lab_s
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(d, algorithm="bogus")
+
+
 def test_near_dedup_groups_string_ids(spark):
     """End-to-end groups path with string doc ids (the winnow_overlap ->
     near_dedup_groups route preserves string ids)."""
@@ -883,6 +922,114 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(fixed) == (11000, 2, 16)
     assert parse_wav_header(wav[:11]) is None
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
+
+
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """Planted boilerplate: unique bodies + one footer shared by all docs.
+    Stats must attribute exactly the footer to duplication, and the
+    cleaned text must drop it while preserving paragraph order; a doc that
+    is PURE boilerplate comes back as an empty husk, not dropped."""
+    from mariadb_to_graylog_spark.operators.paragraphs import (
+        drop_duplicate_paragraphs,
+        paragraph_stats,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha body one\n\nbeta body one\n\n{footer}"),
+        (2, f"alpha body two\n\n{footer}\n\ngamma body two"),
+        (3, footer),  # pure boilerplate
+        (4, "entirely unique document"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in paragraph_stats(d).collect()}
+    assert stats[1].n_paras == 3 and stats[1].n_dup_paras == 1
+    assert stats[2].n_paras == 3 and stats[2].n_dup_paras == 1
+    assert stats[3].n_paras == 1 and stats[3].boilerplate_frac == 1.0
+    assert stats[4].n_dup_paras == 0 and stats[4].boilerplate_frac == 0.0
+    clean = {r.doc_id: r for r in drop_duplicate_paragraphs(d).collect()}
+    assert clean[1].clean_text == "alpha body one\n\nbeta body one"
+    # order preserved around an INTERIOR dropped paragraph
+    assert clean[2].clean_text == "alpha body two\n\ngamma body two"
+    assert clean[3].clean_text == "" and clean[3].n_dropped == 1
+    assert clean[4].clean_text == "entirely unique document"
+
+
+def test_paragraph_stats_blank_run_separators(spark):
+    """\\n\\s*\\n separators collapse (space-padded blank lines still
+    split); intra-paragraph single newlines do NOT split."""
+    from mariadb_to_graylog_spark.operators.paragraphs import explode_paragraphs
+
+    d = spark.createDataFrame(
+        [(1, "line one\nline two\n   \ntail para")], "doc_id long, text string"
+    )
+    paras = [r.para for r in explode_paragraphs(d).orderBy("para_idx").collect()]
+    assert paras == ["line one\nline two", "tail para"]
+
+
+def test_shared_ngram_pairs_verbatim_run(spark):
+    """Docs sharing a >= n-token verbatim run pair up; disjoint docs do
+    not; a run of length L shares L - n + 1 grams; the bucket cap drops
+    degenerate grams loudly documented as cluster signals."""
+    from mariadb_to_graylog_spark.operators.dedup import shared_ngram_pairs
+
+    run = " ".join(f"w{i}" for i in range(6))  # 6 shared tokens
+    rows = [
+        (1, f"intro {run} outro"),
+        (2, f"other prefix {run} different suffix"),
+        (3, "completely unrelated text with no overlap at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_grams
+        for r in shared_ngram_pairs(d, n=4).collect()
+    }
+    # 6-token run, n=4 -> 3 shared grams (the flanking tokens differ)
+    assert pairs == {(1, 2): 3}
+    # cap of 1 drops every gram shared by 2 docs -> no pairs
+    assert shared_ngram_pairs(d, n=4, max_bucket_size=1).count() == 0
+
+
+def test_url_features_goldens(spark):
+    from mariadb_to_graylog_spark.operators.textstats import url_features
+
+    rows = [
+        (1, "see https://cdn.assets.example.com:8080/a/b and http://example.org"),
+        (2, "plain text, no links"),
+        (3, "dev box http://localhost/x then https://cdn.assets.example.com/y"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in url_features(d).collect()}
+    assert got[1].n_urls == 2
+    assert got[1].hosts == "cdn.assets.example.com,example.org"
+    assert got[1].domains == "example.com,example.org"
+    assert got[2].n_urls == 0 and got[2].hosts == "" and got[2].domains == ""
+    # single-label host folds to itself; duplicate host collapses
+    assert got[3].hosts == "cdn.assets.example.com,localhost"
+    assert got[3].domains == "example.com,localhost"
+
+
+def test_source_reputation_dup_rate_and_broadcast(spark):
+    """Verbatim dup inside one source moves only that source's dup_rate;
+    the join back to documents must be a broadcast (no doc-side
+    shuffle)."""
+    from mariadb_to_graylog_spark.operators.textstats import source_reputation
+
+    rows = [
+        (1, "the quick brown fox", "srcA"),
+        (2, "the quick brown fox", "srcA"),  # verbatim dup
+        (3, "a different text in srcA", "srcA"),
+        (4, "unique text one", "srcB"),
+        (5, "unique text two", "srcB"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = source_reputation(d)
+    got = {r.doc_id: r for r in rep.collect()}
+    assert got[1].src_n_docs == 3
+    assert abs(got[1].src_dup_rate - round(1 / 3, 6)) < 1e-9
+    assert got[4].src_dup_rate == 0.0
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_eval_gram_set_size_guard(spark, docs):
