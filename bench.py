@@ -136,6 +136,11 @@ QUERY_NAMES = [
     "simhash_banded",
     "embed_neardup_lsh",
     "winnow_overlap",
+    "substring_pairs",
+    "paragraph_stats",
+    "paragraph_dedup",
+    "url_extract",
+    "source_reputation",
     "dedup_lsh_estimate",
     "decontaminate",
     "curation_pipeline",
@@ -244,6 +249,30 @@ def main() -> int:
             for r in eq.ALL_QUERIES["knn_ivf_trained"](spark, args.sf_dir).collect()
         }
         extras["ivf_recall_at3"] = round(len(brute & ivf) / max(len(brute), 1), 4)
+
+        # full recall CURVE over the nprobe knob (probe cost scales
+        # linearly with nprobe; this documents what each step buys) --
+        # same trained index parameters as the oracle query above
+        from mariadb_to_graylog_spark.operators.similarity import knn_ivf_trained
+
+        curve = {}
+        for nprobe in (1, 2, 4):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in knn_ivf_trained(
+                    e,
+                    F.col("vec_id") < 10,
+                    n_centroids=8,
+                    iters=2,
+                    dim=64,
+                    k=3,
+                    nprobe=nprobe,
+                ).collect()
+            }
+            curve[f"nprobe_{nprobe}"] = round(
+                len(brute & got) / max(len(brute), 1), 4
+            )
+        extras["ivf_recall_curve"] = curve
 
     total = round(sum(queries.values()), 3)
     print(
