@@ -257,18 +257,21 @@ def main() -> int:
 
         curve = {}
         for nprobe in (1, 2, 4):
-            got = {
-                (r.query_id, r.neighbor_id)
-                for r in knn_ivf_trained(
-                    e,
-                    F.col("vec_id") < 10,
-                    n_centroids=8,
-                    iters=2,
-                    dim=64,
-                    k=3,
-                    nprobe=nprobe,
-                ).collect()
-            }
+            if nprobe == 2:
+                got = ivf  # the oracle query above IS the nprobe=2 point
+            else:
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in knn_ivf_trained(
+                        e,
+                        F.col("vec_id") < 10,
+                        n_centroids=8,
+                        iters=2,
+                        dim=64,
+                        k=3,
+                        nprobe=nprobe,
+                    ).collect()
+                }
             curve[f"nprobe_{nprobe}"] = round(
                 len(brute & got) / max(len(brute), 1), 4
             )

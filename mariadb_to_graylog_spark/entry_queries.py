@@ -1707,13 +1707,13 @@ def q_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_HOST = "regexp_extract(x, 'https?://([A-Za-z0-9.\\-]+)', 1)"
+_SQL_HOST = "regexp_extract(x, 'https?://([A-Za-z0-9](?:[A-Za-z0-9.\\-]*[A-Za-z0-9])?)', 1)"
 
 ORACLE_URL_EXTRACT = f"""
 WITH d AS ({_SQL_URL_DOCS}),
 u AS (
   SELECT doc_id,
-         regexp_extract_all(text, '(https?://[A-Za-z0-9.\\-]+(?::\\d+)?(?:/[^\\s]*)?)', 1) AS urls
+         regexp_extract_all(text, '(https?://[A-Za-z0-9](?:[A-Za-z0-9.\\-]*[A-Za-z0-9])?(?::\\d+)?(?:/[^\\s]*)?)', 1) AS urls
   FROM d
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -66,17 +66,21 @@ def eval_gram_set(
     distinct_h = (
         eval_df.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"))
         .distinct()
+        .persist()  # ONE gram/explode/distinct pass shared by guard + collect
     )
-    cnt = distinct_h.count()
-    if cnt > max_hashes:
-        raise ValueError(
-            f"eval corpus must be small (its gram set is collected to the "
-            f"driver and broadcast); got {cnt:,} distinct {n}-gram hashes "
-            f"> max_hashes={max_hashes:,}.  For corpus-vs-corpus overlap "
-            f"use the bucketed gram self-join (substring dedup), not a "
-            f"broadcast."
-        )
-    return {r.h for r in distinct_h.collect()}
+    try:
+        cnt = distinct_h.count()
+        if cnt > max_hashes:
+            raise ValueError(
+                f"eval corpus must be small (its gram set is collected to "
+                f"the driver and broadcast); got {cnt:,} distinct {n}-gram "
+                f"hashes > max_hashes={max_hashes:,}.  For corpus-vs-corpus "
+                f"overlap use the bucketed gram self-join (substring "
+                f"dedup), not a broadcast."
+            )
+        return {r.h for r in distinct_h.collect()}
+    finally:
+        distinct_h.unpersist()
 
 
 def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
@@ -122,6 +126,11 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
         hs = bc.value if bc is not None else hs_local
         return texts.map(lambda t: _flag(t, hs))
 
+    # expose the broadcast for caller-side cleanup: broadcasts live for
+    # the application unless released, so a long-lived app refreshing the
+    # eval set should call udf.eval_broadcast.unpersist() (or .destroy())
+    # when it drops the previous flag udf
+    udf.eval_broadcast = bc
     return udf
 
 

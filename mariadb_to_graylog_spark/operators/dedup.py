@@ -375,6 +375,35 @@ def lsh_jaccard_verified(
     )
 
 
+_CP_KEY = "spark.sql.constraintPropagation.enabled"
+_CP_LOCK = __import__("threading").Lock()
+# per-session disable depth + saved original value, keyed by session id --
+# concurrent connected_components runs on one session must not restore
+# the conf under each other (driver-side only; executors never see this)
+_CP_STATE: dict[int, dict] = {}
+
+
+def _cp_acquire(spark) -> None:
+    with _CP_LOCK:
+        st = _CP_STATE.setdefault(id(spark), {"depth": 0, "prev": None})
+        if st["depth"] == 0:
+            st["prev"] = spark.conf.get(_CP_KEY, None)
+            spark.conf.set(_CP_KEY, "false")
+        st["depth"] += 1
+
+
+def _cp_release(spark) -> None:
+    with _CP_LOCK:
+        st = _CP_STATE[id(spark)]
+        st["depth"] -= 1
+        if st["depth"] == 0:
+            if st["prev"] is None:
+                spark.conf.unset(_CP_KEY)
+            else:
+                spark.conf.set(_CP_KEY, st["prev"])
+            del _CP_STATE[id(spark)]
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 50,
@@ -485,6 +514,8 @@ def connected_components(
     integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ) or (isinstance(id_type, T.DecimalType) and id_type.scale == 0)
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     # Constraint propagation is DISABLED for the iteration: checkpointed
     # relations (LogicalRDD) retain origin isNotNull constraints over
     # attributes the surrounding projections have pruned, and Spark's
@@ -492,12 +523,14 @@ def connected_components(
     # "java.util.NoSuchElementException: key not found: id#N" once the
     # encoded-edge lineage meets the pointer-jump self-join.  The rule
     # infers filters this loop never benefits from (there are no filters
-    # to push), so turning it off is pure robustness; it is restored in
-    # the finally, after the result has been materialized.
+    # to push), so turning it off is pure robustness; it is restored
+    # after the result has been materialized.  The disable/restore is
+    # DEPTH-COUNTED per session (module lock): a concurrent CC run on the
+    # same session must not re-enable the rule mid-iteration under its
+    # sibling -- the conf goes back to its original value only when the
+    # LAST concurrent run finishes.
     spark_s = edges.sparkSession
-    _CP = "spark.sql.constraintPropagation.enabled"
-    _cp_prev = spark_s.conf.get(_CP, None)
-    spark_s.conf.set(_CP, "false")
+    _cp_acquire(spark_s)
     sym = None
     try:
         nodes: DataFrame | None = None
@@ -611,8 +644,6 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components(star) did not converge in {max_iters} rounds"
             )
-        if algorithm != "label":
-            raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
         sym = (
             edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
             .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -657,10 +688,7 @@ def connected_components(
                 return _finish(labels.withColumnRenamed("label", "component"))
             prev = cur
     finally:
-        if _cp_prev is None:
-            spark_s.conf.unset(_CP)
-        else:
-            spark_s.conf.set(_CP, _cp_prev)
+        _cp_release(spark_s)
         if sym is not None:
             sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")

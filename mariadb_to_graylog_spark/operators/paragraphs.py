@@ -78,6 +78,7 @@ def paragraph_stats(
     text_col: str = "text",
     min_docs: int = 2,
     exact: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Per-document paragraph-duplication profile:
 
@@ -95,8 +96,12 @@ def paragraph_stats(
     paras = explode_paragraphs(df, id_col, text_col).select(
         "doc_id", F.md5("para").alias("h"), F.length("para").alias("n_chars")
     )
+    # same rsd default as paragraph_frequency so stats and the cleaner
+    # classify identically at the min_docs boundary in approx mode
     agg = (
-        F.count_distinct("doc_id") if exact else F.approx_count_distinct("doc_id")
+        F.count_distinct("doc_id")
+        if exact
+        else F.approx_count_distinct("doc_id", rsd)
     )
     freq = paras.groupBy("h").agg(agg.cast("long").alias("n_docs"))
     dup = F.col("n_docs") >= min_docs
@@ -124,6 +129,7 @@ def drop_duplicate_paragraphs(
     text_col: str = "text",
     min_docs: int = 2,
     exact: bool = True,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """(doc_id, clean_text, n_dropped) -- each document reassembled (in
     original paragraph order, '\\n\\n'-joined) WITHOUT the paragraphs that
@@ -137,7 +143,7 @@ def drop_duplicate_paragraphs(
     paras = explode_paragraphs(df, id_col, text_col).withColumn(
         "h", F.md5("para")
     )
-    freq = paragraph_frequency(paras, exact=exact)
+    freq = paragraph_frequency(paras, exact=exact, rsd=rsd)
     return (
         paras
         .join(freq, "h")

@@ -344,11 +344,13 @@ def token_length_percentiles(
 # --- URL / domain extraction + per-source reputation ------------------------
 
 # one capture group, RE2/Java-portable (no lookarounds): scheme + host
-# (letters/digits/dots/dashes, optional port) + optional path of
-# non-whitespace -- the C4/RefinedWeb-style URL harvest, not a full RFC
-# 3986 parser
-URL_PATTERN = r"(https?://[A-Za-z0-9.\-]+(?::\d+)?(?:/[^\s]*)?)"
-HOST_PATTERN = r"https?://([A-Za-z0-9.\-]+)"
+# (letters/digits/dots/dashes, MUST end alphanumeric -- a plain greedy
+# class would swallow sentence-ending '.'/'-' and corrupt every host and
+# registrable domain harvested from prose), optional port, optional path
+# of non-whitespace -- the C4/RefinedWeb-style URL harvest, not a full
+# RFC 3986 parser
+URL_PATTERN = r"(https?://[A-Za-z0-9](?:[A-Za-z0-9.\-]*[A-Za-z0-9])?(?::\d+)?(?:/[^\s]*)?)"
+HOST_PATTERN = r"https?://([A-Za-z0-9](?:[A-Za-z0-9.\-]*[A-Za-z0-9])?)"
 
 
 def extract_urls(c: Column) -> Column:
@@ -453,6 +455,20 @@ def source_reputation(
             F.col("_ss").cast("double") / F.greatest("_st", F.lit(1)), 6
         ).alias("src_stop_ratio"),
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")).join(
-        F.broadcast(src), "source"
-    ).select("doc_id", "source", "src_n_docs", "src_dup_rate", "src_mean_chars", "src_stop_ratio")
+    # eqNullSafe join: a NULL source is a legitimate group (groupBy keeps
+    # it) and the contract is "joined back to EVERY document" -- a plain
+    # equality join would silently drop null-source docs
+    docs_side = df.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    rep = F.broadcast(src.withColumnRenamed("source", "_src"))
+    return docs_side.join(
+        rep, docs_side["source"].eqNullSafe(rep["_src"])
+    ).select(
+        "doc_id",
+        "source",
+        "src_n_docs",
+        "src_dup_rate",
+        "src_mean_chars",
+        "src_stop_ratio",
+    )

@@ -30,20 +30,18 @@ from mariadb_to_graylog_spark.operators import textstats as tx
 from mariadb_to_graylog_spark.operators.decontam import contamination_flag_udf
 
 
-def curate(
-    docs: DataFrame,
+def _score_and_route(
+    deduped: DataFrame,
     eval_hashes: set[int],
-    quality_threshold: float = 0.5,
-    n: int = 13,
+    quality_threshold: float,
+    n: int,
 ) -> DataFrame:
-    """The per-row curation transform (works on batch AND streaming
-    DataFrames -- the batch-equivalence test runs it both ways):
-    dedup on md5(text), score, flag, decide."""
+    """Shared post-dedup tail of both curation variants: quality score,
+    contamination flag, decision ladder.  ONE definition so the bounded-
+    and unbounded-state paths can never silently diverge."""
     flag = contamination_flag_udf(eval_hashes, n)
     return (
-        docs.withColumn("_h", F.md5("text"))
-        .dropDuplicates(["_h"])
-        .withColumn("quality", tx.quality_score(F.col("text")))
+        deduped.withColumn("quality", tx.quality_score(F.col("text")))
         .withColumn("contaminated", flag(F.col("text")))
         .withColumn(
             "decision",
@@ -53,6 +51,19 @@ def curate(
         )
         .drop("_h")
     )
+
+
+def curate(
+    docs: DataFrame,
+    eval_hashes: set[int],
+    quality_threshold: float = 0.5,
+    n: int = 13,
+) -> DataFrame:
+    """The per-row curation transform (works on batch AND streaming
+    DataFrames -- the batch-equivalence test runs it both ways):
+    dedup on md5(text), score, flag, decide."""
+    deduped = docs.withColumn("_h", F.md5("text")).dropDuplicates(["_h"])
+    return _score_and_route(deduped, eval_hashes, quality_threshold, n)
 
 
 def curate_watermarked(
@@ -75,21 +86,12 @@ def curate_watermarked(
     the global guarantee belongs to the periodic BATCH dedup pass over
     the accumulated table, not the ingest path.  The unbounded ``curate``
     remains the default for streams small enough to afford exact state."""
-    flag = contamination_flag_udf(eval_hashes, n)
-    return (
+    deduped = (
         docs.withWatermark(event_time_col, delay)
         .withColumn("_h", F.md5("text"))
         .dropDuplicatesWithinWatermark(["_h"])
-        .withColumn("quality", tx.quality_score(F.col("text")))
-        .withColumn("contaminated", flag(F.col("text")))
-        .withColumn(
-            "decision",
-            F.when(F.col("contaminated"), "contaminated")
-            .when(F.col("quality") < quality_threshold, "low_quality")
-            .otherwise("kept"),
-        )
-        .drop("_h")
     )
+    return _score_and_route(deduped, eval_hashes, quality_threshold, n)
 
 
 def start_curation_stream(

@@ -997,6 +997,7 @@ def test_url_features_goldens(spark):
         (1, "see https://cdn.assets.example.com:8080/a/b and http://example.org"),
         (2, "plain text, no links"),
         (3, "dev box http://localhost/x then https://cdn.assets.example.com/y"),
+        (4, "Visit https://example.org. Next sentence, or https://example.com- ok"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in url_features(d).collect()}
@@ -1007,6 +1008,9 @@ def test_url_features_goldens(spark):
     # single-label host folds to itself; duplicate host collapses
     assert got[3].hosts == "cdn.assets.example.com,localhost"
     assert got[3].domains == "example.com,localhost"
+    # sentence-ending '.'/'-' must NOT be swallowed into the host
+    assert got[4].hosts == "example.com,example.org"
+    assert got[4].domains == "example.com,example.org"
 
 
 def test_source_reputation_dup_rate_and_broadcast(spark):
@@ -1021,6 +1025,7 @@ def test_source_reputation_dup_rate_and_broadcast(spark):
         (3, "a different text in srcA", "srcA"),
         (4, "unique text one", "srcB"),
         (5, "unique text two", "srcB"),
+        (6, "provenance unknown", None),  # NULL source is a real group
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string, source string")
     rep = source_reputation(d)
@@ -1028,6 +1033,9 @@ def test_source_reputation_dup_rate_and_broadcast(spark):
     assert got[1].src_n_docs == 3
     assert abs(got[1].src_dup_rate - round(1 / 3, 6)) < 1e-9
     assert got[4].src_dup_rate == 0.0
+    # "joined back to EVERY document": null-source docs survive (null-safe
+    # join) instead of silently vanishing
+    assert 6 in got and got[6].src_n_docs == 1 and got[6].source is None
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 

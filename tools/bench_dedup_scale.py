@@ -223,9 +223,14 @@ def generate_graph(spark, shape: str, n: int):
 def run_cc_compare(spark, sizes: dict[str, tuple[int, int]]) -> list[dict]:
     """Wall-time both connected_components algorithms per shape/size.
     Edges are materialized to parquet first so graph generation is not
-    in the measurement; each (shape, size, algorithm) cell is one
-    measured run after a tiny warmup of the session."""
+    in the measurement; one UNTIMED throwaway CC run (both algorithms on
+    a small chain) absorbs JVM/codegen warmup before the first measured
+    cell, then each (shape, size, algorithm) cell is one measured run."""
     from mariadb_to_graylog_spark.operators import dedup as dd
+
+    warm = spark.range(999).selectExpr("id AS id_a", "id + 1 AS id_b")
+    for alg in ("label", "star"):
+        dd.connected_components(warm, max_iters=80, algorithm=alg).count()
 
     rows = []
     for shape, (lo, hi) in sizes.items():
