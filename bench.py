@@ -137,6 +137,7 @@ QUERY_NAMES = [
     "embed_neardup_lsh",
     "winnow_overlap",
     "substring_pairs",
+    "substring_run_extents",
     "paragraph_stats",
     "paragraph_dedup",
     "url_extract",

@@ -1798,6 +1798,54 @@ GROUP BY 1, 2
 """
 
 
+def q_substring_run_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim-run extents per substring-sharing pair: excerpt
+    docs recover ~their whole token span against their sources, duplicate
+    docs recover the full document length."""
+    d = docs_with_excerpts(spark, sf_dir)
+    return dd.shared_run_extents(d, n=15).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "max_run_tokens",
+    )
+
+
+ORACLE_SUBSTRING_RUN_EXTENTS = f"""
+WITH d AS ({_SQL_EXCERPTS}),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 14, 0) + 1),
+      i -> {{'pos': i - 1,
+            'h': CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 14),
+                   ' ')), 1, 8) AS BIGINT)}})) AS u
+    FROM t
+  )
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+i AS (
+  SELECT id_a, id_b, pos_a,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp,
+         pos_a - pos_b AS diag
+  FROM m
+),
+r AS (SELECT id_a, id_b, count(*) AS c FROM i GROUP BY id_a, id_b, diag, grp)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(max(c) + 14 AS BIGINT) AS max_run_tokens
+FROM r GROUP BY 1, 2
+"""
+
+
 def docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents restructured into paragraph-shaped pages: the text's two
     halves plus a PLANTED per-language boilerplate footer ('subscribe'
@@ -2164,6 +2212,7 @@ TRAINING_QUERIES = {
     "url_extract": q_url_extract,
     "source_reputation": q_source_reputation,
     "substring_pairs": q_substring_pairs,
+    "substring_run_extents": q_substring_run_extents,
     "paragraph_stats": q_paragraph_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
@@ -2201,6 +2250,7 @@ TRAINING_ORACLES = {
     "url_extract": ORACLE_URL_EXTRACT,
     "source_reputation": ORACLE_SOURCE_REPUTATION,
     "substring_pairs": ORACLE_SUBSTRING_PAIRS,
+    "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,

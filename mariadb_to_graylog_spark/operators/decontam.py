@@ -47,6 +47,29 @@ def word_ngram_hashes(c: Column, n: int = 13) -> Column:
     return bind_once(F.split(normalize_text(c), " "), _grams)
 
 
+def word_ngram_pos_hashes(c: Column, n: int = 13) -> Column:
+    """POSITIONED n-gram hashes: array of (pos, h) structs, one per
+    window start (0-based token position), NOT distinct -- the input for
+    run-extent recovery (``dedup.shared_run_extents``), where gram
+    POSITIONS carry the signal that ``word_ngram_hashes`` deliberately
+    discards."""
+
+    def _grams(toks: Column) -> Column:
+        cnt = F.size(toks) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("pos"),
+                    h32(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+
+    return bind_once(F.split(normalize_text(c), " "), _grams)
+
+
 def eval_gram_set(
     eval_df: DataFrame,
     text_col: str = "text",

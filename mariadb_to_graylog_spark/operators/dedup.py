@@ -222,8 +222,9 @@ def shared_ngram_pairs(
     on gram hashes.  (id_a, id_b, n_shared_grams) per pair -- a shared run
     of length L >= n contributes L - n + 1 grams, so n_shared_grams is a
     proxy for total verbatim overlap; maximal run EXTENTS (the suffix-array
-    output) need a second, pair-local pass, cheap because the pair set is
-    tiny relative to the corpus.
+    output) are recovered by ``shared_run_extents`` -- a pair-local
+    gaps-and-islands pass, cheap because the pair set is tiny relative to
+    the corpus.
 
     This is ``decontam.word_ngram_hashes`` generalized from
     eval-vs-corpus to CORPUS-VS-CORPUS: nothing is broadcast or
@@ -250,6 +251,65 @@ def shared_ngram_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def shared_run_extents(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, max_run_tokens): the length in TOKENS of the LONGEST
+    verbatim run shared by each document pair -- the maximal-extent output
+    a suffix array would give (Lee et al.), recovered without one:
+
+    a run of L >= n tokens appears as L - n + 1 shared grams at
+    CONSECUTIVE positions on one DIAGONAL (pos_a - pos_b constant), so
+    extents fall out of a gaps-and-islands pass over matched gram
+    positions: group by (pair, diagonal), island key = pos_a -
+    row_number(), longest island + n - 1 = the run length.  Whole pass is
+    joins + window functions -- no Python, no per-pair materialized
+    texts.
+
+    ``pairs`` restricts the position join to candidate pairs (feed
+    ``shared_ngram_pairs`` output); None derives them in-plan.  Position
+    tuples for UNPAIRED documents never join, so the quadratic blowup a
+    naive position self-join would risk is bounded by the pair set --
+    pair-local, as promised in ``shared_ngram_pairs``'s docstring."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+
+    if pairs is None:
+        pairs = shared_ngram_pairs(
+            df, id_col, text_col, n, max_bucket_size
+        ).select("id_a", "id_b")
+    pg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    a = pairs.select("id_a", "id_b").join(
+        pg.select(
+            F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+        ),
+        "id_a",
+    )
+    b = pg.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    matched = a.join(b, ["id_b", "h"]).select(
+        "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    runs = islands.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("c") + (n - 1)).cast("long").alias("max_run_tokens")
     )
 
 

@@ -990,6 +990,34 @@ def test_shared_ngram_pairs_verbatim_run(spark):
     assert shared_ngram_pairs(d, n=4, max_bucket_size=1).count() == 0
 
 
+def test_shared_run_extents_exact_lengths(spark):
+    """Planted runs of EXACT known token lengths must come back exactly:
+    a run of L tokens = L-n+1 consecutive grams on one diagonal + n-1."""
+    from mariadb_to_graylog_spark.operators.dedup import shared_run_extents
+
+    run9 = " ".join(f"r{i}" for i in range(9))
+    run6 = " ".join(f"s{i}" for i in range(6))
+    rows = [
+        (1, f"aa bb {run9} cc dd {run6} ee"),
+        (2, f"xx {run9} yy zz"),          # shares the 9-run with doc 1
+        (3, f"{run6} pp qq rr"),          # shares the 6-run with doc 1
+        (4, "nothing in common here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.max_run_tokens
+        for r in shared_run_extents(d, n=4).collect()
+    }
+    assert got == {(1, 2): 9, (1, 3): 6}
+    # feeding precomputed pairs restricts the output to those pairs
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got2 = {
+        (r.id_a, r.id_b): r.max_run_tokens
+        for r in shared_run_extents(d, pairs=pairs, n=4).collect()
+    }
+    assert got2 == {(1, 2): 9}
+
+
 def test_url_features_goldens(spark):
     from mariadb_to_graylog_spark.operators.textstats import url_features
 
