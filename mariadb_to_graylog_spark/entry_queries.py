@@ -1962,6 +1962,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(d, eval_df, n=13)
 
 
+def q_decontaminate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus decontamination: same semantics and oracle as
+    ``decontaminate`` but the reference gram set stays DISTRIBUTED (no
+    driver collect, no broadcast pin, no size ceiling) -- the path for
+    decontaminating one training shard against another at 100 TB."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_bucketed
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination_bucketed(d, eval_df, n=13)
+
+
 ORACLE_DECONTAMINATE = """
 WITH s AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
@@ -2216,6 +2228,7 @@ TRAINING_QUERIES = {
     "paragraph_stats": q_paragraph_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
+    "decontaminate_bucketed": q_decontaminate_bucketed,
     "curation_pipeline": q_curation_pipeline,
     "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
@@ -2254,6 +2267,7 @@ TRAINING_ORACLES = {
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "decontaminate_bucketed": ORACLE_DECONTAMINATE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

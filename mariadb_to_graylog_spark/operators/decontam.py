@@ -98,8 +98,8 @@ def eval_gram_set(
                 f"eval corpus must be small (its gram set is collected to "
                 f"the driver and broadcast); got {cnt:,} distinct {n}-gram "
                 f"hashes > max_hashes={max_hashes:,}.  For corpus-vs-corpus "
-                f"overlap use the bucketed gram self-join (substring "
-                f"dedup), not a broadcast."
+                f"overlap use contamination_bucketed (distributed gram "
+                f"join), not a broadcast."
             )
         return {r.h for r in distinct_h.collect()}
     finally:
@@ -185,6 +185,48 @@ def contamination(
     )
     return (
         doc_grams.join(F.broadcast(eval_grams), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("_hit").cast("long").alias("n_hits"))
+        .select(
+            "doc_id", "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+        )
+    )
+
+
+def contamination_bucketed(
+    docs: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """``contamination`` for reference corpora too large to broadcast --
+    the path ``eval_gram_set``'s size-guard error message points at.
+
+    Same output contract as ``contamination`` (tested equal on the same
+    inputs), but the reference gram set STAYS DISTRIBUTED: the probe is a
+    plain join on 8-byte gram hashes, so the only driver-side object is
+    the plan.  No collect, no size ceiling -- decontaminate a training
+    shard against another 100 TB shard.  Catalyst still picks the right
+    physical join per run: a small reference broadcasts via AQE exactly
+    like the explicit path, a large one shuffle-joins on the hash --
+    declaring the join and letting the optimizer choose IS the scale
+    story (the ``contamination`` variant exists for the streaming flag
+    udf and for pinning the broadcast when the caller knows best)."""
+    ref_grams = (
+        ref_df.select(
+            F.explode(word_ngram_hashes(F.col(ref_text_col), n)).alias("h")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    return (
+        doc_grams.join(ref_grams, "h", "left")
         .groupBy("doc_id")
         .agg(F.count("_hit").cast("long").alias("n_hits"))
         .select(

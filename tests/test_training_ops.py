@@ -1068,6 +1068,28 @@ def test_source_reputation_dup_rate_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contamination_bucketed_equals_broadcast(spark, docs):
+    """The distributed-join decontam path must agree row-for-row with the
+    broadcast path on the same inputs (same contract, different physical
+    strategy)."""
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination,
+        contamination_bucketed,
+    )
+
+    d = docs.limit(80)
+    ev = d.filter(F.col("doc_id") % 13 == 0)
+    a = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in contamination(d, ev, n=13).collect()
+    }
+    b = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in contamination_bucketed(d, ev, n=13).collect()
+    }
+    assert a == b and any(v[1] for v in b.values())
+
+
 def test_eval_gram_set_size_guard(spark, docs):
     """The 'eval corpus is small' contract is enforced: over the cap the
     collect never happens and the error names the contract; under the cap
