@@ -274,31 +274,42 @@ def shared_run_extents(
     joins + window functions -- no Python, no per-pair materialized
     texts.
 
-    ``pairs`` restricts the position join to candidate pairs (feed
-    ``shared_ngram_pairs`` output); None derives them in-plan.  Position
-    tuples for UNPAIRED documents never join, so the quadratic blowup a
-    naive position self-join would risk is bounded by the pair set --
-    pair-local, as promised in ``shared_ngram_pairs``'s docstring."""
+    ``pairs`` restricts the position join to a precomputed candidate set
+    (feed ``shared_ngram_pairs`` output when it already exists).  With
+    ``pairs=None`` the matched-position join ITSELF is the pair
+    derivation -- only gram-sharing documents meet on the hash key, so no
+    separate pair pass (and no second scan tree) is needed; the quadratic
+    blowup a naive position self-join would risk is bounded by gram
+    sharing either way, with ``max_bucket_size`` dropping degenerate
+    grams (counted over gram OCCURRENCES here, not distinct docs)."""
     from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
 
-    if pairs is None:
-        pairs = shared_ngram_pairs(
-            df, id_col, text_col, n, max_bucket_size
-        ).select("id_a", "id_b")
     pg = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    a = pairs.select("id_a", "id_b").join(
-        pg.select(
-            F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
-        ),
-        "id_a",
-    )
+    if pairs is None and max_bucket_size is not None:
+        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop(
+            "_bn"
+        )
     b = pg.select(
         F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
     )
-    matched = a.join(b, ["id_b", "h"]).select(
+    if pairs is None:
+        a = pg.select(
+            F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+        )
+        matched = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = pairs.select("id_a", "id_b").join(
+            pg.select(
+                F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+            ),
+            "id_a",
+        )
+        matched = a.join(b, ["id_b", "h"])
+    matched = matched.select(
         "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
     )
     from pyspark.sql.window import Window
