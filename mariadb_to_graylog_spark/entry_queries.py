@@ -1728,6 +1728,46 @@ FROM u
 """
 
 
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cited-domain reputation joined back to (doc, domain) rows --
+    the URL-derived counterpart of source_reputation."""
+    d = docs_with_urls(spark, sf_dir)
+    return tx.domain_reputation(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "domain",
+        "dom_n_docs",
+        "dom_mean_chars",
+        "dom_stop_ratio",
+    )
+
+
+ORACLE_DOMAIN_REPUTATION = f"""
+WITH d AS ({_SQL_URL_DOCS}),
+per AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok,
+         len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS stop,
+         unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '(https?://[A-Za-z0-9](?:[A-Za-z0-9.\\-]*[A-Za-z0-9])?(?::\\d+)?(?:/[^\\s]*)?)', 1),
+           x -> array_to_string(list_slice(str_split({_SQL_HOST}, '.'),
+                  greatest(len(str_split({_SQL_HOST}, '.')) - 1, 1),
+                  99), '.')))) AS domain
+  FROM d
+),
+dom AS (
+  SELECT domain, COUNT(*) AS n, SUM(chars) AS sc, SUM(tok) AS st,
+         SUM(stop) AS ss
+  FROM per GROUP BY domain
+)
+SELECT CAST(per.doc_id AS BIGINT) AS doc_id, per.domain,
+       CAST(n AS BIGINT) AS dom_n_docs,
+       round(CAST(sc AS DOUBLE)/n, 6) AS dom_mean_chars,
+       round(CAST(ss AS DOUBLE)/greatest(st, 1), 6) AS dom_stop_ratio
+FROM per JOIN dom USING (domain)
+"""
+
+
 def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source reputation (doc counts, verbatim-dup rate, mean chars,
     stopword ratio) joined back to every document as features."""
@@ -2223,6 +2263,7 @@ TRAINING_QUERIES = {
     "winnow_overlap": q_winnow_overlap,
     "url_extract": q_url_extract,
     "source_reputation": q_source_reputation,
+    "domain_reputation": q_domain_reputation,
     "substring_pairs": q_substring_pairs,
     "substring_run_extents": q_substring_run_extents,
     "paragraph_stats": q_paragraph_stats,
@@ -2262,6 +2303,7 @@ TRAINING_ORACLES = {
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "url_extract": ORACLE_URL_EXTRACT,
     "source_reputation": ORACLE_SOURCE_REPUTATION,
+    "domain_reputation": ORACLE_DOMAIN_REPUTATION,
     "substring_pairs": ORACLE_SUBSTRING_PAIRS,
     "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,

@@ -472,3 +472,46 @@ def source_reputation(
         "src_mean_chars",
         "src_stop_ratio",
     )
+
+
+def domain_reputation(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, domain, dom_n_docs, dom_mean_chars, dom_stop_ratio) --
+    one row per (document, cited registrable domain): the C4/RefinedWeb
+    source signal derived from the URLS A DOCUMENT CITES rather than its
+    ingest provenance (``source_reputation`` covers that axis).
+
+    Shape: per-doc metrics are computed ONCE map-side, the distinct
+    domain list explodes them, a per-domain aggregate reduces (exact
+    integer sums, single rounded division -- fp-order-stable like
+    source_reputation), and the tiny domain table broadcasts back onto
+    the exploded rows.  Documents citing no URL simply contribute no
+    rows."""
+    per = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        token_count(F.col(text_col)).alias("_tok"),
+        stopword_count(F.col(text_col), "en").alias("_stop"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    extract_urls(F.col(text_col)),
+                    lambda u: registrable_domain(url_host(u)),
+                )
+            )
+        ).alias("domain"),
+    )
+    dom = per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("dom_n_docs"),
+        F.round(
+            F.sum("_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dom_mean_chars"),
+        F.round(
+            F.sum("_stop").cast("double") / F.greatest(F.sum("_tok"), F.lit(1)),
+            6,
+        ).alias("dom_stop_ratio"),
+    )
+    return per.select("doc_id", "domain").join(F.broadcast(dom), "domain").select(
+        "doc_id", "domain", "dom_n_docs", "dom_mean_chars", "dom_stop_ratio"
+    )

@@ -1041,6 +1041,24 @@ def test_url_features_goldens(spark):
     assert got[4].domains == "example.com,example.org"
 
 
+def test_domain_reputation_citation_axis(spark):
+    """Reputation keyed on CITED registrable domains: multi-domain docs
+    contribute to every domain they cite, URL-less docs contribute none,
+    and the per-domain aggregate counts citing docs once each."""
+    from mariadb_to_graylog_spark.operators.textstats import domain_reputation
+
+    rows = [
+        (1, "the story at https://a.example.com/x and https://b.example.org/y"),
+        (2, "more at http://cdn.a.example.com/z of the day"),
+        (3, "no links at all in this one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.domain): r for r in domain_reputation(d).collect()}
+    assert set(got) == {(1, "example.com"), (1, "example.org"), (2, "example.com")}
+    assert got[(1, "example.com")].dom_n_docs == 2  # docs 1 and 2 cite it
+    assert got[(1, "example.org")].dom_n_docs == 1
+
+
 def test_source_reputation_dup_rate_and_broadcast(spark):
     """Verbatim dup inside one source moves only that source's dup_rate;
     the join back to documents must be a broadcast (no doc-side
