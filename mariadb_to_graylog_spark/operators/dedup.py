@@ -496,7 +496,10 @@ def connected_components(
       one star per component, so round cost SHRINKS as the graph
       collapses (label propagation re-joins the full edge list every
       round); convergence is O(log^2 n) rounds on any graph with no
-      pointer-jump special case.  Measured head-to-head in
+      pointer-jump special case, and the heuristic edge-sum convergence
+      probe is backed by an EXACTNESS CERTIFICATE (every original edge's
+      endpoints must share a label) before anything is returned.
+      Measured head-to-head in
       BENCH/DEDUP.md (tools/bench_dedup_scale.py --cc-compare); label
       propagation stays the default on dedup-shaped (shallow) graphs.
 
@@ -697,6 +700,30 @@ def connected_components(
                         .groupBy("id")
                         .agg(F.min("label").alias("label"))
                     )
+                    # exactness CERTIFICATE: the triple probe is
+                    # necessary-but-heuristic (a multiset coincidence
+                    # could freeze it early), so before returning verify
+                    # the true CC invariant -- both endpoints of every
+                    # ORIGINAL edge carry the same label.  One join, paid
+                    # only at claimed convergence; on failure keep
+                    # iterating instead of returning silently-partial
+                    # components (the worst dedup failure mode).
+                    la = labels.select(
+                        F.col("id").alias("id_a"), F.col("label").alias("_la")
+                    )
+                    lb = labels.select(
+                        F.col("id").alias("id_b"), F.col("label").alias("_lb")
+                    )
+                    inconsistent = (
+                        edges.join(la, "id_a")
+                        .join(lb, "id_b")
+                        .filter(F.col("_la") != F.col("_lb"))
+                        .limit(1)
+                        .count()
+                    )
+                    if inconsistent:
+                        prev_e = cur_e
+                        continue
                     # nodes whose only edges were self-pairs vanished with
                     # the self-loop filter; restore them as singletons so
                     # both algorithms label every node in the edge list
