@@ -139,14 +139,25 @@ def drop_duplicate_paragraphs(
 
     Reassembly is sort_array over collected (para_idx, para) structs --
     collect_list order is NOT deterministic across retries, the struct
-    sort is what makes the output stable/oracle-checkable."""
+    sort is what makes the output stable/oracle-checkable.
+
+    The join side is the frequency table FILTERED to duplicate hashes
+    only (kept paragraphs don't need their count): boilerplate is a tiny
+    fraction of distinct paragraphs, so the left join's build side is
+    small and AQE broadcasts it -- paragraph TEXT then crosses exactly
+    ONE shuffle (the per-doc reassembly) instead of also hashing through
+    the frequency join."""
     paras = explode_paragraphs(df, id_col, text_col).withColumn(
         "h", F.md5("para")
     )
-    freq = paragraph_frequency(paras, exact=exact, rsd=rsd)
+    dup_h = (
+        paragraph_frequency(paras, exact=exact, rsd=rsd)
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
     return (
         paras
-        .join(freq, "h")
+        .join(dup_h, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.array_join(
@@ -154,7 +165,7 @@ def drop_duplicate_paragraphs(
                     F.sort_array(
                         F.collect_list(
                             F.when(
-                                F.col("n_docs") < min_docs,
+                                F.col("_dup").isNull(),
                                 F.struct("para_idx", "para"),
                             )
                         )
@@ -163,6 +174,6 @@ def drop_duplicate_paragraphs(
                 ),
                 "\n\n",
             ).alias("clean_text"),
-            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_dropped"),
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
         )
     )
