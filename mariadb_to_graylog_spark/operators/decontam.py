@@ -164,9 +164,16 @@ def contamination(
     text_col: str = "text",
     eval_text_col: str = "text",
     n: int = 13,
+    pin_broadcast: bool = True,
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated) for every document: n_hits = how many
     of the document's distinct n-grams appear anywhere in the eval set.
+
+    ``pin_broadcast=True`` (default) forces the eval gram set onto the
+    broadcast side -- correct when the reference IS an eval suite (small
+    by definition).  ``contamination_bucketed`` is the same body with the
+    pin removed for corpus-sized references.  ONE implementation backs
+    both so the contract cannot silently diverge.
 
     Use ``docs.filter(~contaminated)``-style joins downstream to drop
     flagged documents before training."""
@@ -175,6 +182,8 @@ def contamination(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    if pin_broadcast:
+        eval_grams = F.broadcast(eval_grams)
     # explode_outer keeps gram-less (short/empty) documents as a null-h
     # row, so ONE groupBy emits every document -- no join-back of a hits
     # relation onto the doc list (that join is a doc_id shuffle the
@@ -184,7 +193,7 @@ def contamination(
         F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("h"),
     )
     return (
-        doc_grams.join(F.broadcast(eval_grams), "h", "left")
+        doc_grams.join(eval_grams, "h", "left")
         .groupBy("doc_id")
         .agg(F.count("_hit").cast("long").alias("n_hits"))
         .select(
@@ -204,32 +213,20 @@ def contamination_bucketed(
     """``contamination`` for reference corpora too large to broadcast --
     the path ``eval_gram_set``'s size-guard error message points at.
 
-    Same output contract as ``contamination`` (tested equal on the same
-    inputs), but the reference gram set STAYS DISTRIBUTED: the probe is a
-    plain join on 8-byte gram hashes, so the only driver-side object is
-    the plan.  No collect, no size ceiling -- decontaminate a training
-    shard against another 100 TB shard.  Catalyst still picks the right
-    physical join per run: a small reference broadcasts via AQE exactly
-    like the explicit path, a large one shuffle-joins on the hash --
-    declaring the join and letting the optimizer choose IS the scale
-    story (the ``contamination`` variant exists for the streaming flag
-    udf and for pinning the broadcast when the caller knows best)."""
-    ref_grams = (
-        ref_df.select(
-            F.explode(word_ngram_hashes(F.col(ref_text_col), n)).alias("h")
-        )
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    doc_grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("h"),
-    )
-    return (
-        doc_grams.join(ref_grams, "h", "left")
-        .groupBy("doc_id")
-        .agg(F.count("_hit").cast("long").alias("n_hits"))
-        .select(
-            "doc_id", "n_hits", (F.col("n_hits") > 0).alias("contaminated")
-        )
+    Same output contract (it IS the same implementation, with the
+    broadcast pin removed): the reference gram set STAYS DISTRIBUTED, so
+    the only driver-side object is the plan -- no collect, no size
+    ceiling; decontaminate a training shard against another 100 TB
+    shard.  Catalyst still picks the right physical join per run: a
+    small reference broadcasts via AQE exactly like the pinned path, a
+    large one shuffle-joins on the 8-byte gram hash -- declaring the
+    join and letting the optimizer choose IS the scale story."""
+    return contamination(
+        docs,
+        ref_df,
+        id_col=id_col,
+        text_col=text_col,
+        eval_text_col=ref_text_col,
+        n=n,
+        pin_broadcast=False,
     )

@@ -281,14 +281,16 @@ def shared_run_extents(
     separate pair pass (and no second scan tree) is needed; the quadratic
     blowup a naive position self-join would risk is bounded by gram
     sharing either way, with ``max_bucket_size`` dropping degenerate
-    grams (counted over gram OCCURRENCES here, not distinct docs)."""
+    grams on BOTH paths (counted over gram OCCURRENCES here, not
+    distinct docs -- a gram occurring k times per side emits k^2 matched
+    positions per pair, which is exactly what the cap exists to bound)."""
     from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
 
     pg = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    if pairs is None and max_bucket_size is not None:
+    if max_bucket_size is not None:
         sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
         pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop(
             "_bn"

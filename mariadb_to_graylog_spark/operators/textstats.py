@@ -485,9 +485,11 @@ def domain_reputation(
     Shape: per-doc metrics are computed ONCE map-side, the distinct
     domain list explodes them, a per-domain aggregate reduces (exact
     integer sums, single rounded division -- fp-order-stable like
-    source_reputation), and the tiny domain table broadcasts back onto
-    the exploded rows.  Documents citing no URL simply contribute no
-    rows."""
+    source_reputation), and the domain table joins back DECLARATIVELY --
+    no broadcast pin, because distinct registrable domains are UNBOUNDED
+    on a web corpus (unlike ingest sources, which are few by
+    construction): AQE broadcasts a small domain table and shuffle-joins
+    a huge one.  Documents citing no URL simply contribute no rows."""
     per = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).cast("long").alias("_chars"),
@@ -512,6 +514,6 @@ def domain_reputation(
             6,
         ).alias("dom_stop_ratio"),
     )
-    return per.select("doc_id", "domain").join(F.broadcast(dom), "domain").select(
+    return per.select("doc_id", "domain").join(dom, "domain").select(
         "doc_id", "domain", "dom_n_docs", "dom_mean_chars", "dom_stop_ratio"
     )

@@ -72,13 +72,16 @@ def start_token_percentile_stream(
     time_col: str = "ts",
     window: str = "1 minute",
     watermark: str = "2 minutes",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
     trigger_ms: int = 1000,
 ) -> StreamingQuery:
     """Append-mode file sink: a window's row is emitted exactly once, when
     the watermark closes it -- the downstream drift detector reads
-    finalized windows only."""
+    finalized windows only.  ``ps``/``accuracy`` pass straight through to
+    the windowed aggregate (p999 alerting, coarser sketches)."""
     stats = windowed_token_percentiles(
-        docs_stream, text_col, time_col, window, watermark
+        docs_stream, text_col, time_col, window, watermark, ps, accuracy
     )
     return (
         stats.writeStream.format("parquet")

@@ -1016,6 +1016,11 @@ def test_shared_run_extents_exact_lengths(spark):
         for r in shared_run_extents(d, pairs=pairs, n=4).collect()
     }
     assert got2 == {(1, 2): 9}
+    # the degenerate-gram cap applies on the pairs path too (a gram in k
+    # positions per side would emit k^2 matched rows per pair otherwise)
+    assert (
+        shared_run_extents(d, pairs=pairs, n=4, max_bucket_size=1).count() == 0
+    )
 
 
 def test_url_features_goldens(spark):
