@@ -254,6 +254,38 @@ def shared_ngram_pairs(
     )
 
 
+def ngram_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One-row gram-bucket report for ``shared_ngram_pairs`` -- the
+    ``lsh_bucket_stats`` twin, because dropping is never silent: sizes
+    the ``max_bucket_size`` cap and exposes exactly how many grams/pairs
+    it would remove (a gram shared by thousands of docs is boilerplate --
+    a CLUSTER signal for paragraph/exact dedup, not a pair signal)."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    sizes = (
+        df.select(
+            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pairs = (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+    over = F.col("sz") > (max_bucket_size if max_bucket_size is not None else 2**62)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.max("sz").alias("max_bucket"),
+        F.sum(pairs).alias("candidate_pairs"),
+        F.sum(over.cast("long")).alias("grams_dropped"),
+        F.coalesce(F.sum(F.when(over, pairs)), F.lit(0)).alias("pairs_dropped"),
+    )
+
+
 def shared_run_extents(
     df: DataFrame,
     pairs: DataFrame | None = None,

@@ -988,6 +988,13 @@ def test_shared_ngram_pairs_verbatim_run(spark):
     assert pairs == {(1, 2): 3}
     # cap of 1 drops every gram shared by 2 docs -> no pairs
     assert shared_ngram_pairs(d, n=4, max_bucket_size=1).count() == 0
+    # and the drop is never silent: the stats twin quantifies it
+    from mariadb_to_graylog_spark.operators.dedup import ngram_bucket_stats
+
+    st = ngram_bucket_stats(d, n=4, max_bucket_size=1).first()
+    assert st.max_bucket == 2  # the 3 shared grams each occur twice
+    assert st.grams_dropped == 3 and st.pairs_dropped == 3
+    assert st.candidate_pairs == 3
 
 
 def test_shared_run_extents_exact_lengths(spark):
