@@ -98,11 +98,16 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
 @pytest.mark.parametrize(
     "qname",
     ["decontaminate", "winnow_overlap", "dedup_groups", "multimodal_meta",
-     "dedup_lsh_estimate", "curation_pipeline", "token_percentiles"],
+     "dedup_lsh_estimate", "curation_pipeline", "token_percentiles",
+     # round 4: computed-slice (registrable_domain, gram windows),
+     # posexplode/split, diagonal windows, distributed gram join
+     "substring_pairs", "substring_run_extents", "paragraph_stats",
+     "paragraph_dedup", "url_extract", "source_reputation",
+     "domain_reputation", "decontaminate_bucketed"],
 )
 def test_training_queries_ansi_parity(spark, qname):
-    """Round-3 training operators must return IDENTICAL rows with ANSI on
-    and off (slice/element_at/cast edges are where ANSI bites)."""
+    """Round-3/4 training operators must return IDENTICAL rows with ANSI
+    on and off (slice/element_at/cast edges are where ANSI bites)."""
     import mariadb_to_graylog_spark.entry_queries as eq
 
     sf = "/root/testdata/sf0.001"
