@@ -1030,6 +1030,28 @@ def test_shared_run_extents_exact_lengths(spark):
     )
 
 
+def test_shared_run_extents_repeated_and_degenerate(spark):
+    """A run appearing TWICE in one doc (two diagonals) and degenerate
+    self-similar text (one gram at many positions -> k^2 matched rows)
+    must both recover the true longest-common-run length."""
+    from mariadb_to_graylog_spark.operators.dedup import shared_run_extents
+
+    run5 = "r0 r1 r2 r3 r4"
+    rows = [
+        (1, f"{run5} x {run5}"),       # the run twice
+        (2, f"y {run5} z"),
+        (3, "a a a a a a a"),           # 7 identical tokens
+        (4, "b a a a a a c"),           # 5 identical tokens inside
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.max_run_tokens
+        for r in shared_run_extents(d, n=4).collect()
+    }
+    assert got[(1, 2)] == 5
+    assert got[(3, 4)] == 5  # longest common run of 'a's is doc 4's 5
+
+
 def test_url_features_goldens(spark):
     from mariadb_to_graylog_spark.operators.textstats import url_features
 
