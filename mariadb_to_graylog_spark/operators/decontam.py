@@ -106,7 +106,7 @@ def eval_gram_set(
         distinct_h.unpersist()
 
 
-def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
+def contamination_flag_udf(eval_hashes: set[int], n: int = 13, eval_broadcast=None):
     """Stateless per-row contamination flag for STREAMING (and any context
     where an aggregation is unwelcome): grams are computed in Arrow
     batches and probed against the broadcast eval-hash set -- no explode,
@@ -119,7 +119,15 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
     active (shipped once per executor, torrent-distributed), NOT a plain
     closure (which would re-serialize the whole set into every task); the
     closure fallback only applies when no session exists yet at
-    definition time."""
+    definition time.
+
+    Long-lived apps that rebuild the curation plan (e.g. a restarting
+    stream) should pass the previous udf's handle back as
+    ``eval_broadcast`` -- the set then ships ONCE per app, not once per
+    rebuild (``eval_hashes`` is ignored for content when a broadcast is
+    supplied); otherwise unpersist the old handle
+    (``udf.eval_broadcast.unpersist()``) before dropping the udf, or
+    app-lifetime broadcasts accumulate."""
     import hashlib
     import re
 
@@ -127,13 +135,17 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13):
     from pyspark.sql.functions import pandas_udf
 
     ws = re.compile(r"\s+", re.ASCII)
-    spark = SparkSession.getActiveSession()
-    if spark is not None:
-        bc = spark.sparkContext.broadcast(frozenset(eval_hashes))
+    if eval_broadcast is not None:
+        bc = eval_broadcast
         hs_local = None
     else:
-        bc = None
-        hs_local = frozenset(eval_hashes)
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            bc = spark.sparkContext.broadcast(frozenset(eval_hashes))
+            hs_local = None
+        else:
+            bc = None
+            hs_local = frozenset(eval_hashes)
 
     def _flag(t: str | None, hs: frozenset) -> bool:
         s = ws.sub(" ", (t or "").lower()).strip()
@@ -165,6 +177,7 @@ def contamination(
     eval_text_col: str = "text",
     n: int = 13,
     pin_broadcast: bool = True,
+    on_null_id: str = "error",
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated) for every document: n_hits = how many
     of the document's distinct n-grams appear anywhere in the eval set.
@@ -175,8 +188,19 @@ def contamination(
     pin removed for corpus-sized references.  ONE implementation backs
     both so the contract cannot silently diverge.
 
+    The id column keeps its ORIGINAL type (string ids stay strings --
+    a cast-to-long here once silently nulled every non-numeric id, and
+    the final groupBy then merged all such documents into one NULL row).
+    NULL ids would hit the same merge, so per the repo's loud null-id
+    policy (see ``multimodal.attach_payload``): ``on_null_id="error"``
+    (default) fails the job at the first NULL id via a map-side check
+    (no extra pass -- the conditional rides the projection the explode
+    already pays for); ``"drop"`` opts into excluding them.
+
     Use ``docs.filter(~contaminated)``-style joins downstream to drop
     flagged documents before training."""
+    if on_null_id not in ("error", "drop"):
+        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
     eval_grams = (
         eval_df.select(F.explode(word_ngram_hashes(F.col(eval_text_col), n)).alias("h"))
         .distinct()
@@ -184,12 +208,26 @@ def contamination(
     )
     if pin_broadcast:
         eval_grams = F.broadcast(eval_grams)
+    doc_id = F.col(id_col)
+    if on_null_id == "error":
+        doc_id = F.when(
+            doc_id.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"contamination: NULL {id_col!r}; distinct documents with "
+                    f"NULL ids would merge into one groupBy row (pass "
+                    f"on_null_id='drop' to drop them)"
+                )
+            ),
+        ).otherwise(doc_id)
+    else:
+        docs = docs.filter(F.col(id_col).isNotNull())
     # explode_outer keeps gram-less (short/empty) documents as a null-h
     # row, so ONE groupBy emits every document -- no join-back of a hits
     # relation onto the doc list (that join is a doc_id shuffle the
     # aggregation already pays for)
     doc_grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        doc_id.alias("doc_id"),
         F.explode_outer(word_ngram_hashes(F.col(text_col), n)).alias("h"),
     )
     return (
@@ -209,6 +247,7 @@ def contamination_bucketed(
     text_col: str = "text",
     ref_text_col: str = "text",
     n: int = 13,
+    on_null_id: str = "error",
 ) -> DataFrame:
     """``contamination`` for reference corpora too large to broadcast --
     the path ``eval_gram_set``'s size-guard error message points at.
@@ -229,4 +268,5 @@ def contamination_bucketed(
         eval_text_col=ref_text_col,
         n=n,
         pin_broadcast=False,
+        on_null_id=on_null_id,
     )

@@ -737,6 +737,104 @@ def test_decontamination_flags_leaked_eval_items(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_decontamination_preserves_string_ids(spark):
+    """String doc ids survive end-to-end with their ORIGINAL type and
+    values -- the historical cast-to-long here nulled every non-numeric
+    id and the final groupBy then merged all such documents into one NULL
+    row (the same silent-string-id failure fixed in connected_components
+    and winnow_overlap_pairs)."""
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination,
+        contamination_bucketed,
+    )
+
+    eval_item = (
+        "what is the capital of the ancient kingdom that bordered "
+        "the western sea before the long winter"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("crawl/2024/a9f3", f"intro {eval_item} outro"),
+            ("crawl/2024/b771", "clean document with no overlap whatsoever "
+                                "spanning more than thirteen words of filler "
+                                "material to get a window"),
+            ("shard-07:e02", "short"),
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame([(eval_item,)], "text string")
+    for fn in (contamination, contamination_bucketed):
+        out = fn(docs, ev, n=13)
+        assert dict(out.dtypes)["doc_id"] == "string"
+        got = {r.doc_id: r.contaminated for r in out.collect()}
+        assert got == {
+            "crawl/2024/a9f3": True,
+            "crawl/2024/b771": False,
+            "shard-07:e02": False,
+        }
+
+
+def test_decontamination_null_ids_fail_loudly(spark):
+    """NULL ids would silently merge distinct documents into one groupBy
+    row, so the default raises (map-side, first null encountered);
+    on_null_id='drop' opts into exclusion; anything else is rejected at
+    plan time."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+
+    docs = spark.createDataFrame(
+        [("a", "x " * 20), (None, "y " * 20), (None, "z " * 20)],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame([("nothing shared here " * 5,)], "text string")
+
+    with pytest.raises(SparkRuntimeException, match="NULL 'doc_id'"):
+        contamination(docs, ev, n=13).collect()
+
+    kept = contamination(docs, ev, n=13, on_null_id="drop").collect()
+    assert [r.doc_id for r in kept] == ["a"]
+
+    with pytest.raises(ValueError, match="on_null_id"):
+        contamination(docs, ev, n=13, on_null_id="keep")
+
+
+def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
+    """A long-lived app rebuilding its plan can hand the previous udf's
+    broadcast back in: the new udf rides the SAME broadcast (no per-rebuild
+    reship) and still flags correctly."""
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_flag_udf,
+        eval_gram_set,
+    )
+
+    eval_item = (
+        "what is the capital of the ancient kingdom that bordered "
+        "the western sea before the long winter"
+    )
+    ev = spark.createDataFrame([(eval_item,)], "text string")
+    hashes = eval_gram_set(ev, n=13)
+
+    udf1 = contamination_flag_udf(hashes, n=13)
+    assert udf1.eval_broadcast is not None
+    udf2 = contamination_flag_udf(set(), n=13, eval_broadcast=udf1.eval_broadcast)
+    assert udf2.eval_broadcast is udf1.eval_broadcast
+
+    docs = spark.createDataFrame(
+        [(1, f"pad {eval_item} pad"), (2, "nothing to see in this one at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.flag
+        for r in docs.select("doc_id", udf2(F.col("text")).alias("flag")).collect()
+    }
+    assert got == {1: True, 2: False}
+    udf1.eval_broadcast.unpersist()
+
+
 def test_winnow_overlap_catches_containment(spark):
     """A short doc pasted inside a long one: whole-doc Jaccard is low but
     winnow containment (shared / min sketch) is high; unrelated docs score
