@@ -2041,6 +2041,66 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+def q_decontaminate_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE contamination lives: one row per maximal verbatim run a
+    document shares with the leaked eval slice (doc_id % 13 == 0) --
+    start/end token in the doc, start token in the eval item, run length.
+    The audit/appeal record behind ``decontaminate``'s boolean."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination_extents(d, eval_df, n=13).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        "doc_start",
+        "doc_end",
+        "eval_start",
+        "run_tokens",
+    )
+
+
+ORACLE_DECONTAMINATE_EXTENTS = """
+WITH s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+),
+t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 12, 0) + 1),
+      i -> {'pos': i - 1,
+            'h': CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 12),
+                   ' ')), 1, 8) AS BIGINT)})) AS u
+    FROM t
+  )
+),
+m AS (
+  SELECT d.doc_id AS doc_id, e.doc_id AS eval_id, d.pos AS pos_a,
+         d.pos - e.pos AS diag
+  FROM g d JOIN g e ON d.h = e.h AND e.doc_id % 13 = 0
+),
+i AS (
+  SELECT doc_id, eval_id, diag, pos_a,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_id, eval_id, diag ORDER BY pos_a) AS grp
+  FROM m
+),
+r AS (
+  SELECT doc_id, eval_id, diag, min(pos_a) AS doc_start, count(*) AS c
+  FROM i GROUP BY doc_id, eval_id, diag, grp
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(eval_id AS BIGINT) AS eval_id,
+       CAST(doc_start AS BIGINT) AS doc_start,
+       CAST(doc_start + c + 11 AS BIGINT) AS doc_end,
+       CAST(doc_start - diag AS BIGINT) AS eval_start,
+       CAST(c + 12 AS BIGINT) AS run_tokens
+FROM r
+"""
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated
     percentiles -- the oracle path; approx_percentile is the 100 TB
@@ -2270,6 +2330,7 @@ TRAINING_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
     "decontaminate_bucketed": q_decontaminate_bucketed,
+    "decontaminate_extents": q_decontaminate_extents,
     "curation_pipeline": q_curation_pipeline,
     "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
@@ -2310,6 +2371,7 @@ TRAINING_ORACLES = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bucketed": ORACLE_DECONTAMINATE,
+    "decontaminate_extents": ORACLE_DECONTAMINATE_EXTENTS,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -270,3 +270,99 @@ def contamination_bucketed(
         pin_broadcast=False,
         on_null_id=on_null_id,
     )
+
+
+def contamination_extents(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 13,
+    pin_broadcast: bool = True,
+    max_bucket_size: int | None = None,
+    on_null_id: str = "error",
+) -> DataFrame:
+    """WHERE each contaminated document overlaps the eval set -- the
+    audit/appeal record ``contamination``'s boolean flag cannot provide:
+    one row per maximal verbatim run, (doc_id, eval_id, doc_start,
+    doc_end, eval_start, run_tokens), token positions 0-based inclusive.
+
+    Composition of this module's positioned grams
+    (``word_ngram_pos_hashes``) with the diagonal gaps-and-islands pass
+    of ``dedup.shared_run_extents``: a shared run of L >= n tokens shows
+    up as L - n + 1 gram matches at consecutive doc positions on ONE
+    diagonal (doc_pos - eval_pos constant), so maximal extents are
+    islands per (doc, eval item, diagonal) -- joins + one window, no
+    Python, no suffix array.  Only contaminated documents appear (inner
+    join on the gram hash); ``contamination`` stays the cheap flag pass
+    over ALL documents.
+
+    Scale shape mirrors ``contamination``: the eval side is small by
+    definition, so its positioned grams broadcast (``pin_broadcast=True``
+    default; pass False for corpus-sized references and let AQE choose);
+    documents never move -- the only shuffle carries matched (8-byte
+    hash, two int positions) tuples into the per-(doc, eval, diagonal)
+    window.  A single gram repeated k_doc x k_eval times on one diagonal
+    pair is bounded by ``max_bucket_size`` (counted over DOC-side gram
+    occurrences, like ``shared_run_extents``); None = no cap, because an
+    eval gram matching many documents is precisely the signal sought --
+    cap only when eval text itself carries boilerplate.
+
+    Id columns keep their ORIGINAL types; NULL doc ids follow the loud
+    null-id policy (``on_null_id``), NULL eval ids are the eval corpus
+    author's bug and are left to surface as NULL eval_id rows."""
+    if on_null_id not in ("error", "drop"):
+        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
+    from pyspark.sql.window import Window
+
+    eg = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(word_ngram_pos_hashes(F.col(eval_text_col), n)).alias("g"),
+    ).select("eval_id", F.col("g.pos").alias("pos_b"), F.col("g.h").alias("h"))
+    if pin_broadcast:
+        eg = F.broadcast(eg)
+
+    doc_id = F.col(id_col)
+    if on_null_id == "error":
+        doc_id = F.when(
+            doc_id.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"contamination_extents: NULL {id_col!r}; runs from "
+                    f"distinct NULL-id documents would merge (pass "
+                    f"on_null_id='drop' to drop them)"
+                )
+            ),
+        ).otherwise(doc_id)
+    else:
+        docs = docs.filter(F.col(id_col).isNotNull())
+    dg = docs.select(
+        doc_id.alias("doc_id"),
+        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos_a"), F.col("g.h").alias("h"))
+    if max_bucket_size is not None:
+        sizes = dg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        dg = dg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+
+    matched = dg.join(eg, "h").select(
+        "doc_id",
+        "eval_id",
+        "pos_a",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_id", "eval_id", "diag").orderBy("pos_a")
+    islands = matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "eval_id", "diag", "grp")
+        .agg(F.min("pos_a").alias("doc_start"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "doc_id",
+            "eval_id",
+            F.col("doc_start").cast("long").alias("doc_start"),
+            (F.col("doc_start") + F.col("c") + (n - 2)).cast("long").alias("doc_end"),
+            (F.col("doc_start") - F.col("diag")).cast("long").alias("eval_start"),
+            (F.col("c") + (n - 1)).cast("long").alias("run_tokens"),
+        )
+    )

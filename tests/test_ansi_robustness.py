@@ -103,7 +103,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # posexplode/split, diagonal windows, distributed gram join
      "substring_pairs", "substring_run_extents", "paragraph_stats",
      "paragraph_dedup", "url_extract", "source_reputation",
-     "domain_reputation", "decontaminate_bucketed"],
+     "domain_reputation", "decontaminate_bucketed",
+     # round 5: positioned-gram eval join + diagonal windows
+     "decontaminate_extents"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Round-3/4 training operators must return IDENTICAL rows with ANSI

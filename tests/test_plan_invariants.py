@@ -1,5 +1,7 @@
-"""Plan-shape invariants across EVERY driver query: builds all 36 physical
-plans (no execution) and asserts the scale-killers are absent.
+"""Plan-shape invariants across EVERY driver query: builds the physical
+plan of each ``entry_queries.ALL_QUERIES`` entry (the parametrization
+tracks the registry, so new queries are covered automatically; no
+execution) and asserts the scale-killers are absent.
 
 * CartesianProduct: never, anywhere.
 * BroadcastNestedLoopJoin: only in the ANN queries whose DESIGN is

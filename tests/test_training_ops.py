@@ -800,6 +800,61 @@ def test_decontamination_null_ids_fail_loudly(spark):
         contamination(docs, ev, n=13, on_null_id="keep")
 
 
+def test_contamination_extents_planted_positions(spark):
+    """A doc embedding an eval item at a known token offset yields exactly
+    one run with exact doc_start/doc_end/eval_start/run_tokens; a doc
+    embedding only a sub-window yields the sub-window's extent; clean and
+    too-short docs yield no row.  String ids survive untouched."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    ev_toks = [f"w{i}" for i in range(20)]  # 20-token eval item
+    eval_item = " ".join(ev_toks)
+    docs = spark.createDataFrame(
+        [
+            # full item at doc token offset 3
+            ("doc/full", "pre one two " + eval_item + " post"),
+            # tokens 5..18 of the item (14 tokens >= n) at doc offset 0
+            ("doc/mid", " ".join(ev_toks[5:19]) + " unrelated tail words"),
+            ("doc/clean", "totally clean text " * 8),
+            ("doc/short", "w0 w1 w2"),
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame([("ev-1", eval_item)], "doc_id string, text string")
+    out = contamination_extents(docs, ev, n=13)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {
+        r.doc_id: (r.eval_id, r.doc_start, r.doc_end, r.eval_start, r.run_tokens)
+        for r in out.collect()
+    }
+    assert rows == {
+        "doc/full": ("ev-1", 3, 22, 0, 20),
+        "doc/mid": ("ev-1", 0, 13, 5, 14),
+    }
+
+
+def test_contamination_extents_multiple_runs_per_pair(spark):
+    """Two DISJOINT leaked windows from the same eval item produce two
+    rows (one per maximal run), not one merged span -- the property that
+    distinguishes extents from the flag."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    ev_toks = [f"w{i}" for i in range(40)]
+    gap = " ".join(f"g{i}" for i in range(10))
+    doc = (
+        " ".join(ev_toks[0:15]) + " " + gap + " " + " ".join(ev_toks[25:40])
+    )
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, " ".join(ev_toks))], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_start, r.doc_end, r.eval_start, r.run_tokens)
+        for r in contamination_extents(docs, ev, n=13).collect()
+    )
+    assert got == [(0, 14, 0, 15), (25, 39, 25, 15)]
+
+
 def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
     """A long-lived app rebuilding its plan can hand the previous udf's
     broadcast back in: the new udf rides the SAME broadcast (no per-rebuild
