@@ -14,6 +14,9 @@ extensions a 100 TB transcript/document corpus needs.  Design rules:
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -481,16 +484,19 @@ def lsh_jaccard_verified(
 
 
 _CP_KEY = "spark.sql.constraintPropagation.enabled"
-_CP_LOCK = __import__("threading").Lock()
-# per-session disable depth + saved original value, keyed by session id --
-# concurrent connected_components runs on one session must not restore
-# the conf under each other (driver-side only; executors never see this)
-_CP_STATE: dict[int, dict] = {}
+_CP_LOCK = threading.Lock()
+# per-session disable depth + saved original value, WEAKLY keyed by the
+# session object -- concurrent connected_components runs on one session
+# must not restore the conf under each other, and a NEW session reusing a
+# GC'd session's id() must not inherit its stale saved value (an id-keyed
+# dict did exactly that when a run died between acquire and release).
+# Driver-side only; executors never see this.
+_CP_STATE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _cp_acquire(spark) -> None:
     with _CP_LOCK:
-        st = _CP_STATE.setdefault(id(spark), {"depth": 0, "prev": None})
+        st = _CP_STATE.setdefault(spark, {"depth": 0, "prev": None})
         if st["depth"] == 0:
             st["prev"] = spark.conf.get(_CP_KEY, None)
             spark.conf.set(_CP_KEY, "false")
@@ -499,14 +505,14 @@ def _cp_acquire(spark) -> None:
 
 def _cp_release(spark) -> None:
     with _CP_LOCK:
-        st = _CP_STATE[id(spark)]
+        st = _CP_STATE[spark]
         st["depth"] -= 1
         if st["depth"] == 0:
             if st["prev"] is None:
                 spark.conf.unset(_CP_KEY)
             else:
                 spark.conf.set(_CP_KEY, st["prev"])
-            del _CP_STATE[id(spark)]
+            del _CP_STATE[spark]
 
 
 def connected_components(

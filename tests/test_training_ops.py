@@ -800,6 +800,61 @@ def test_decontamination_null_ids_fail_loudly(spark):
         contamination(docs, ev, n=13, on_null_id="keep")
 
 
+def test_cp_guard_survives_session_gc_id_reuse():
+    """The constraint-propagation guard's state is WEAKLY keyed by the
+    session object: a session GC'd mid-run (acquire without release, e.g.
+    a crashed CC iteration) must not leave state behind that a NEW session
+    reusing the same id() would inherit -- the id-keyed dict did exactly
+    that, restoring a stale 'prev' conf value."""
+    import gc
+
+    from mariadb_to_graylog_spark.operators import dedup as dd
+
+    class FakeConf:
+        def __init__(self):
+            self.vals = {}
+
+        def get(self, k, default=None):
+            return self.vals.get(k, default)
+
+        def set(self, k, v):
+            self.vals[k] = v
+
+        def unset(self, k):
+            self.vals.pop(k, None)
+
+    class FakeSession:
+        def __init__(self):
+            self.conf = FakeConf()
+
+    s1 = FakeSession()
+    s1.conf.set(dd._CP_KEY, "true")  # a saved 'prev' that would be stale
+    dd._cp_acquire(s1)
+    assert s1.conf.get(dd._CP_KEY) == "false" and s1 in dd._CP_STATE
+    old_id = id(s1)
+    del s1  # dies without release (crashed run)
+    gc.collect()
+    assert all(id(k) != old_id for k in dd._CP_STATE), "stale entry survived GC"
+
+    # a fresh session -- whatever its id() -- starts from ITS OWN conf
+    s2 = FakeSession()
+    dd._cp_acquire(s2)
+    assert s2.conf.get(dd._CP_KEY) == "false"
+    dd._cp_release(s2)
+    assert s2.conf.get(dd._CP_KEY) is None  # restored to unset, not "true"
+    assert s2 not in dd._CP_STATE
+
+    # nesting on one session still round-trips the original value
+    s3 = FakeSession()
+    s3.conf.set(dd._CP_KEY, "true")
+    dd._cp_acquire(s3)
+    dd._cp_acquire(s3)
+    dd._cp_release(s3)
+    assert s3.conf.get(dd._CP_KEY) == "false"  # inner release keeps disable
+    dd._cp_release(s3)
+    assert s3.conf.get(dd._CP_KEY) == "true"
+
+
 def test_contamination_extents_planted_positions(spark):
     """A doc embedding an eval item at a known token offset yields exactly
     one run with exact doc_start/doc_end/eval_start/run_tokens; a doc
