@@ -802,9 +802,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cand_ctes(bands: int, rows_per_band: int, shingle_n: int) -> str:
+def _minhash_cand_ctes(
+    bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+    source_sql: str | None = None,
+) -> str:
     """Shared CTE chain d -> hashes -> sigs -> buckets -> cand (DISTINCT
-    candidate id pairs), mirroring minhash_lsh_pairs bucket membership."""
+    candidate id pairs), mirroring minhash_lsh_pairs bucket membership.
+    ``source_sql`` overrides the unit table (must yield doc_id, text);
+    default is the near-dup document corpus."""
     params = dd._hash_params(bands * rows_per_band)
     sig_exprs = ",\n         ".join(
         f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {dd.MERSENNE31})) AS mh_{j}"
@@ -819,7 +826,7 @@ def _minhash_cand_ctes(bands: int, rows_per_band: int, shingle_n: int) -> str:
         for b in range(bands)
     )
     return f"""
-WITH d AS ({_SQL_NEAR_DUPS}),
+WITH d AS ({source_sql if source_sql is not None else _SQL_NEAR_DUPS}),
 h AS (
   SELECT doc_id AS id,
          list_transform(
@@ -902,12 +909,15 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_verified_oracle_sql(
+def _lsh_verified_pairs_ctes(
     bands: int = 4, rows_per_band: int = 8, shingle_n: int = 4,
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, source_sql: str | None = None,
 ) -> str:
+    """cand chain + exact-Jaccard verification: ends with CTE ``vp``
+    (id_a, id_b, j) -- the lsh_jaccard_verified twin over any unit
+    table."""
     return (
-        _minhash_cand_ctes(bands, rows_per_band, shingle_n)
+        _minhash_cand_ctes(bands, rows_per_band, shingle_n, source_sql)
         + f""",
 g AS (
   SELECT doc_id AS id,
@@ -916,15 +926,25 @@ g AS (
            i -> substr(text, CAST(i AS INT), {n}))) AS grams
   FROM d
 ),
-p AS (
+vp AS (
   SELECT cand.id_a, cand.id_b,
          CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
            / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS j
   FROM cand JOIN g ga ON ga.id = cand.id_a JOIN g gb ON gb.id = cand.id_b
-)
+)"""
+    )
+
+
+def _lsh_verified_oracle_sql(
+    bands: int = 4, rows_per_band: int = 8, shingle_n: int = 4,
+    n: int = 3, threshold: float = 0.5,
+) -> str:
+    return (
+        _lsh_verified_pairs_ctes(bands, rows_per_band, shingle_n, n)
+        + f"""
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        round(j, 6) AS jaccard
-FROM p WHERE j >= {threshold}
+FROM vp WHERE j >= {threshold}
 """
     )
 
@@ -1991,6 +2011,70 @@ FROM j GROUP BY doc_id
 )
 
 
+def q_paragraph_near_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-boilerplate profile: the planted footer varies by {lang},
+    so md5 sees per-slice duplicates only; the near path additionally
+    connects footer VARIANTS across languages (LSH-verified one-hop
+    neighborhood) before counting distinct documents."""
+    d = docs_with_paragraphs(spark, sf_dir)
+    return pg.paragraph_near_stats(
+        d, threshold=0.6, shingle_n=4, bands=4, rows_per_band=8, n=3
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_near_dup_paras").cast("long").alias("n_near_dup_paras"),
+        "near_dup_ratio",
+        "near_boilerplate_frac",
+    )
+
+
+_SQL_PARA_UNITS = f"""
+  SELECT md5(para) AS doc_id, min(para) AS text FROM (
+    SELECT trim(para) AS para
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS para
+          FROM ({_SQL_PARA_DOCS}))
+    WHERE length(trim(para)) > 0
+  ) GROUP BY 1
+"""
+
+ORACLE_PARAGRAPH_NEAR_STATS = (
+    _lsh_verified_pairs_ctes(
+        bands=4, rows_per_band=8, shingle_n=4, n=3, source_sql=_SQL_PARA_UNITS
+    )
+    + f""",
+pd AS ({_SQL_PARA_DOCS}),
+p AS (
+  SELECT doc_id, trim(para) AS para
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS para FROM pd)
+  WHERE length(trim(para)) > 0
+),
+dp AS (SELECT md5(para) AS h, doc_id, length(para) AS n_chars FROM p),
+vpairs AS (SELECT id_a, id_b FROM vp WHERE j >= 0.6),
+edges AS (
+  SELECT id_a AS h, id_b AS nb FROM vpairs
+  UNION ALL
+  SELECT id_b AS h, id_a AS nb FROM vpairs
+),
+alln AS (
+  SELECT h, doc_id FROM dp
+  UNION ALL
+  SELECT e.h, dp2.doc_id FROM edges e JOIN dp dp2 ON dp2.h = e.nb
+),
+nf AS (SELECT h, count(DISTINCT doc_id) AS n_near_docs FROM alln GROUP BY 1)
+SELECT CAST(dp.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN n_near_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup_paras,
+       round(sum(CASE WHEN n_near_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS near_dup_ratio,
+       round(sum(CASE WHEN n_near_docs >= 2 THEN n_chars ELSE 0 END)::DOUBLE
+             / sum(n_chars), 6) AS near_boilerplate_frac
+FROM dp JOIN nf USING (h)
+GROUP BY dp.doc_id
+"""
+)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 13th document plays the leaked
     eval set; any document sharing a 13-word window with it is flagged.
@@ -2328,6 +2412,7 @@ TRAINING_QUERIES = {
     "substring_run_extents": q_substring_run_extents,
     "paragraph_stats": q_paragraph_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "paragraph_near_stats": q_paragraph_near_stats,
     "decontaminate": q_decontaminate,
     "decontaminate_bucketed": q_decontaminate_bucketed,
     "decontaminate_extents": q_decontaminate_extents,
@@ -2369,6 +2454,7 @@ TRAINING_ORACLES = {
     "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+    "paragraph_near_stats": ORACLE_PARAGRAPH_NEAR_STATS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bucketed": ORACLE_DECONTAMINATE,
     "decontaminate_extents": ORACLE_DECONTAMINATE_EXTENTS,

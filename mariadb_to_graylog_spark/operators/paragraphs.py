@@ -123,6 +123,191 @@ def paragraph_stats(
     )
 
 
+def near_paragraph_frequency(
+    paras: DataFrame,
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """(h, n_near_docs) -- for each distinct paragraph (md5 key), the
+    number of DISTINCT documents containing it *or a near-duplicate of
+    it*.  The near relation is ``dedup.lsh_jaccard_verified`` run at
+    PARAGRAPH granularity over the distinct-paragraph table, expanded
+    ONE HOP (a paragraph's neighborhood = itself + its verified pairs).
+    One hop, not transitive closure, by design: near-boilerplate is a
+    pairwise-similarity property, and transitive chaining (A~B~C with
+    A!~C) would let a drifting template chain arbitrarily-dissimilar
+    paragraphs into one cluster -- run ``dedup.connected_components``
+    over the pair list when cluster semantics are wanted.
+
+    Scale shape: the unit table groups occurrences by 32-byte hash with
+    map-side partial agg (min over identical texts), so each distinct
+    paragraph's text crosses the wire ~once per upstream partition it
+    occurs in, NOT once per occurrence -- boilerplate collapses before it
+    moves.  LSH banding/verification then runs on distinct paragraphs
+    (strictly fewer rows than the corpus), and the neighbor expansion
+    joins 32-byte hash pairs to (hash, doc_id) tuples -- no text."""
+    from mariadb_to_graylog_spark.operators.dedup import lsh_jaccard_verified
+
+    units = paras.groupBy("h").agg(F.min("para").alias("para"))
+    pairs = lsh_jaccard_verified(
+        units,
+        id_col="h",
+        text_col="para",
+        shingle_n=shingle_n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        n=n,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    edges = pairs.select(F.col("id_a").alias("h"), F.col("id_b").alias("nb")).union(
+        pairs.select(F.col("id_b").alias("h"), F.col("id_a").alias("nb"))
+    )
+    docs_per = paras.select("h", "doc_id")
+    nb_docs = edges.join(
+        docs_per.withColumnRenamed("h", "nb"), "nb"
+    ).select("h", "doc_id")
+    agg = (
+        F.count_distinct("doc_id")
+        if exact
+        else F.approx_count_distinct("doc_id", rsd)
+    )
+    return (
+        docs_per.unionByName(nb_docs)
+        .groupBy("h")
+        .agg(agg.cast("long").alias("n_near_docs"))
+    )
+
+
+def paragraph_near_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """``paragraph_stats`` for TEMPLATED boilerplate -- the per-page
+    variation md5 cannot see ('Subscribe to the {lang} newsletter'):
+
+    (doc_id, n_paras, n_near_dup_paras, near_dup_ratio,
+     near_boilerplate_frac)
+
+    where a paragraph is NEAR-DUPLICATE if it, or any verified
+    near-duplicate of it (exact ``n``-gram Jaccard >= ``threshold`` on
+    LSH candidates), appears in >= ``min_docs`` distinct documents.
+    Exact duplicates are subsumed (a paragraph is trivially in its own
+    neighborhood), so this strictly dominates ``paragraph_stats``'s
+    duplicate classification at equal ``min_docs``."""
+    paras = explode_paragraphs(df, id_col, text_col).select(
+        "doc_id",
+        F.md5("para").alias("h"),
+        F.length("para").alias("n_chars"),
+        "para",
+    )
+    freq = near_paragraph_frequency(
+        paras,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        n=n,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        exact=exact,
+        rsd=rsd,
+    )
+    dup = F.col("n_near_docs") >= min_docs
+    return (
+        paras.drop("para")
+        .join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(dup.cast("long")).alias("n_near_dup_paras"),
+            F.round(
+                F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("near_dup_ratio"),
+            F.round(
+                F.sum(F.when(dup, F.col("n_chars")).otherwise(0))
+                / F.sum("n_chars"),
+                6,
+            ).alias("near_boilerplate_frac"),
+        )
+    )
+
+
+def drop_near_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """``drop_duplicate_paragraphs`` under the NEAR-duplicate
+    classification of ``paragraph_near_stats``: (doc_id, clean_text,
+    n_dropped) with every paragraph whose one-hop neighborhood spans >=
+    ``min_docs`` distinct documents removed, original order preserved,
+    pure-boilerplate docs returned as empty husks (caller filters).
+    Join side is the frequency table filtered to flagged hashes only, so
+    paragraph text crosses exactly one shuffle (reassembly)."""
+    paras = explode_paragraphs(df, id_col, text_col).withColumn("h", F.md5("para"))
+    flagged = (
+        near_paragraph_frequency(
+            paras,
+            shingle_n=shingle_n,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            n=n,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            exact=exact,
+            rsd=rsd,
+        )
+        .filter(F.col("n_near_docs") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        paras.join(flagged, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n\n",
+            ).alias("clean_text"),
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
+        )
+    )
+
+
 def drop_duplicate_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1163,6 +1163,69 @@ def test_paragraph_dedup_planted_boilerplate(spark):
     assert clean[4].clean_text == "entirely unique document"
 
 
+def test_paragraph_near_dedup_templated_boilerplate(spark):
+    """TEMPLATED boilerplate ('Subscribe to the {lang} newsletter') with
+    per-doc variation: every footer instance is md5-UNIQUE, so exact
+    paragraph_stats sees zero duplication -- the near path must flag the
+    footer in every doc (one-hop LSH-verified neighborhood spans all
+    docs) while leaving the unique bodies alone, and the near cleaner
+    must strip exactly the footers."""
+    from mariadb_to_graylog_spark.operators.paragraphs import (
+        drop_near_duplicate_paragraphs,
+        paragraph_near_stats,
+        paragraph_stats,
+    )
+
+    langs = ["english", "francais", "deutsch", "espanol"]
+    bodies = [
+        "completely unique body text about distributed query planning",
+        "another singular body covering adaptive shuffle partitioning",
+        "a third standalone body describing columnar batch execution",
+        "the fourth body examines watermark semantics in streams",
+    ]
+    rows = [
+        (i + 1, f"{bodies[i]}\n\nSubscribe to the {langs[i]} newsletter "
+                f"for weekly updates and offers.")
+        for i in range(4)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {r.doc_id: r for r in paragraph_stats(d).collect()}
+    assert all(exact[i].n_dup_paras == 0 for i in exact), "footers must be md5-unique"
+
+    near = {r.doc_id: r for r in paragraph_near_stats(d, threshold=0.6).collect()}
+    for i in range(1, 5):
+        assert near[i].n_paras == 2
+        assert near[i].n_near_dup_paras == 1, f"doc {i} footer not flagged"
+        assert near[i].near_dup_ratio == 0.5
+        assert 0.0 < near[i].near_boilerplate_frac < 1.0
+
+    clean = {r.doc_id: r for r in drop_near_duplicate_paragraphs(d, threshold=0.6).collect()}
+    for i in range(1, 5):
+        assert clean[i].clean_text == bodies[i - 1]
+        assert clean[i].n_dropped == 1
+
+
+def test_paragraph_near_stats_subsumes_exact_dups(spark):
+    """Verbatim boilerplate (identical hash across docs) is flagged by the
+    near path WITHOUT needing any LSH pair -- a paragraph is in its own
+    neighborhood -- so near stats strictly dominate exact stats."""
+    from mariadb_to_graylog_spark.operators.paragraphs import paragraph_near_stats
+
+    footer = "subscribe to our newsletter"
+    d = spark.createDataFrame(
+        [
+            (1, f"alpha unique body\n\n{footer}"),
+            (2, f"beta unique body\n\n{footer}"),
+            (3, "gamma standalone document with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    near = {r.doc_id: r for r in paragraph_near_stats(d).collect()}
+    assert near[1].n_near_dup_paras == 1 and near[2].n_near_dup_paras == 1
+    assert near[3].n_near_dup_paras == 0
+
+
 def test_paragraph_stats_blank_run_separators(spark):
     """\\n\\s*\\n separators collapse (space-padded blank lines still
     split); intra-paragraph single newlines do NOT split."""
