@@ -266,8 +266,8 @@ def main() -> int:
                     for r in knn_ivf_trained(
                         e,
                         F.col("vec_id") < 10,
-                        n_centroids=8,
-                        iters=2,
+                        n_centroids=16,
+                        iters=3,
                         dim=64,
                         k=3,
                         nprobe=nprobe,

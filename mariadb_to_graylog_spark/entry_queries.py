@@ -1166,9 +1166,14 @@ FROM r WHERE rk <= 3
 
 
 def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 16 centroids x 3 Lloyd iterations x nprobe=2: recall@3 = 0.93 vs
+    # brute force at sf0.1 (0.97 at nprobe=4; curve in bench.py) -- the
+    # 8x2 config plateaued at 0.87.  Affordable because the argmax rides
+    # two flat literals (see similarity._centroid_cos_array); the struct-
+    # per-centroid plan spent 5x the wall in Catalyst analysis alone.
     e = _embeddings(spark, sf_dir)
     return sim.knn_ivf_trained(
-        e, F.col("vec_id") < 10, n_centroids=8, iters=2, dim=64, k=3, nprobe=2
+        e, F.col("vec_id") < 10, n_centroids=16, iters=3, dim=64, k=3, nprobe=2
     )
 
 
@@ -1243,7 +1248,7 @@ FROM r WHERE rk <= {k}
     return "".join(parts)
 
 
-ORACLE_KNN_IVF_TRAINED = _kmeans_oracle_sql()
+ORACLE_KNN_IVF_TRAINED = _kmeans_oracle_sql(n_centroids=16, iters=3, nprobe=2)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

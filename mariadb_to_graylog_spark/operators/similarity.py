@@ -119,18 +119,21 @@ def knn_bruteforce(
     return _topk_window(scored, k)
 
 
-def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<cid,cv>> literal from driver-side centroids (tiny by
-    definition: k entries)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.lit([float(x) for x in cv]).alias("cv"),
-            )
-            for cid, cv in cents
-        ]
-    )
+def _centroid_cos_array(
+    cents: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Per-centroid cosine array from TWO flat literals (array<long> ids +
+    array<array<double>> vectors) instead of k per-centroid struct
+    expression trees.  Same lesson as ``srp_band_values``: with per-entry
+    literals, Catalyst ANALYSIS of the k x dim expression forest dominated
+    wall time (k=32/dim=64 spent minutes planning a job that executes in
+    seconds); two nested literals keep the tree O(1) in k."""
+    cvs = F.lit([[float(x) for x in cv] for _, cv in cents])
+    return F.transform(cvs, lambda cv: cosine(F.col(vec_col), cv))
+
+
+def _centroid_ids(cents: list[tuple[int, list[float]]]) -> Column:
+    return F.lit([int(cid) for cid, _ in cents]).cast("array<long>")
 
 
 def assign_buckets_local(
@@ -149,12 +152,20 @@ def assign_buckets_local(
     array, and the lowest cid among exact-max entries wins -- identical to
     ``ROW_NUMBER() OVER (ORDER BY cs DESC, cid)``.
     """
-    cent = _centroid_literal(cents)
-    cos_arr = F.transform(cent, lambda c: cosine(F.col(vec_col), c["cv"]))
-    best = F.array_max(cos_arr)
-    bucket = F.array_min(
-        F.zip_with(cent, cos_arr, lambda c, s: F.when(s == best, c["cid"]))
-    )
+    from mariadb_to_graylog_spark.operators.textstats import bind_once
+
+    cids = _centroid_ids(cents)
+
+    def _argmax(ca: Column) -> Column:
+        best = F.array_max(ca)
+        return F.array_min(
+            F.zip_with(cids, ca, lambda cid, s: F.when(s == best, cid))
+        )
+
+    # bind the cosine array once: HOF lambdas are interpreted with no CSE,
+    # so referencing it from both array_max and zip_with would re-fold
+    # every centroid dot product twice per row
+    bucket = bind_once(_centroid_cos_array(cents, vec_col), _argmax)
     return df.withColumn(bucket_col, bucket)
 
 
@@ -315,13 +326,14 @@ def probe_buckets_local(
     cents: list[tuple[int, list[float]]], vec_col: str, nprobe: int
 ) -> Column:
     """Query-side multi-probe: array of the ``nprobe`` nearest centroid
-    ids (cos desc, ties lowest id), map-side like the argmax fold."""
-    cent = _centroid_literal(cents)
-    cos_arr = F.transform(cent, lambda c: cosine(F.col(vec_col), c["cv"]))
+    ids (cos desc, ties lowest id), map-side like the argmax fold (and
+    sharing its two-flat-literal shape -- see ``_centroid_cos_array``)."""
+    cids = _centroid_ids(cents)
     ranked = F.sort_array(
         F.zip_with(
-            cent, cos_arr,
-            lambda c, s: F.struct((-s).alias("neg"), c["cid"].alias("cid")),
+            cids,
+            _centroid_cos_array(cents, vec_col),
+            lambda cid, s: F.struct((-s).alias("neg"), cid.alias("cid")),
         )
     )
     return F.transform(F.slice(ranked, 1, nprobe), lambda p: p["cid"])
