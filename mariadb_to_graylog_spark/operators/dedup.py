@@ -280,11 +280,14 @@ def ngram_bucket_stats(
     )
     pairs = (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
     over = F.col("sz") > (max_bucket_size if max_bucket_size is not None else 2**62)
+    # every aggregate coalesced: on an empty/gram-less corpus sum/max over
+    # zero rows are NULL and downstream arithmetic on the report would
+    # crash on None
     return sizes.agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.max("sz").alias("max_bucket"),
-        F.sum(pairs).alias("candidate_pairs"),
-        F.sum(over.cast("long")).alias("grams_dropped"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.sum(pairs), F.lit(0)).alias("candidate_pairs"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("grams_dropped"),
         F.coalesce(F.sum(F.when(over, pairs)), F.lit(0)).alias("pairs_dropped"),
     )
 
@@ -376,11 +379,12 @@ def lsh_bucket_stats(
     sizes = buckets.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
     pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
     over = F.col("n") > (max_bucket_size if max_bucket_size is not None else 2**62)
+    # coalesced like ngram_bucket_stats: empty corpus -> 0s, not NULLs
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.max("n").alias("max_bucket"),
-        F.sum(pairs).alias("candidate_pairs"),
-        F.sum(over.cast("long")).alias("buckets_dropped"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.sum(pairs), F.lit(0)).alias("candidate_pairs"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("buckets_dropped"),
         F.coalesce(F.sum(F.when(over, pairs)), F.lit(0)).alias("pairs_dropped"),
     )
 

@@ -482,14 +482,18 @@ def domain_reputation(
     source signal derived from the URLS A DOCUMENT CITES rather than its
     ingest provenance (``source_reputation`` covers that axis).
 
-    Shape: per-doc metrics are computed ONCE map-side, the distinct
-    domain list explodes them, a per-domain aggregate reduces (exact
-    integer sums, single rounded division -- fp-order-stable like
-    source_reputation), and the domain table joins back DECLARATIVELY --
-    no broadcast pin, because distinct registrable domains are UNBOUNDED
-    on a web corpus (unlike ingest sources, which are few by
-    construction): AQE broadcasts a small domain table and shuffle-joins
-    a huge one.  Documents citing no URL simply contribute no rows."""
+    Shape: per-doc metrics are computed ONCE map-side (genuinely once:
+    the per-domain reduction is a WINDOW over ``domain``, so the plan has
+    a single scan branch -- the earlier groupBy + join-back re-evaluated
+    the URL-regex extraction on both join sides), then ONE exchange on
+    the 8-to-30-byte domain key carries (doc_id, domain, 3 ints) into the
+    window aggregate.  Exact integer sums, single rounded division --
+    fp-order-stable like source_reputation.  Distinct registrable domains
+    are UNBOUNDED on a web corpus (unlike ingest sources), which is why
+    this shuffles on domain rather than pinning any broadcast.  Documents
+    citing no URL simply contribute no rows."""
+    from pyspark.sql.window import Window
+
     per = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).cast("long").alias("_chars"),
@@ -504,16 +508,18 @@ def domain_reputation(
             )
         ).alias("domain"),
     )
-    dom = per.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("dom_n_docs"),
+    w = Window.partitionBy("domain")
+    n = F.count(F.lit(1)).over(w)
+    return per.select(
+        "doc_id",
+        "domain",
+        n.cast("long").alias("dom_n_docs"),
+        F.round(F.sum("_chars").over(w).cast("double") / n, 6).alias(
+            "dom_mean_chars"
+        ),
         F.round(
-            F.sum("_chars").cast("double") / F.count(F.lit(1)), 6
-        ).alias("dom_mean_chars"),
-        F.round(
-            F.sum("_stop").cast("double") / F.greatest(F.sum("_tok"), F.lit(1)),
+            F.sum("_stop").over(w).cast("double")
+            / F.greatest(F.sum("_tok").over(w), F.lit(1)),
             6,
         ).alias("dom_stop_ratio"),
-    )
-    return per.select("doc_id", "domain").join(dom, "domain").select(
-        "doc_id", "domain", "dom_n_docs", "dom_mean_chars", "dom_stop_ratio"
     )

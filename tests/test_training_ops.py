@@ -800,6 +800,25 @@ def test_decontamination_null_ids_fail_loudly(spark):
         contamination(docs, ev, n=13, on_null_id="keep")
 
 
+def test_bucket_stats_empty_corpus_yields_zeros(spark):
+    """Both bucket-size reports return 0s (never NULLs) on an empty or
+    gram-less corpus -- downstream arithmetic on the report must not hit
+    None."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_bucket_stats,
+        ngram_bucket_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    short = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    for df in (empty, short):
+        r = ngram_bucket_stats(df, n=15, max_bucket_size=4).collect()[0]
+        assert (r.n_grams, r.max_bucket, r.candidate_pairs, r.grams_dropped,
+                r.pairs_dropped) == (0, 0, 0, 0, 0)
+    r = lsh_bucket_stats(empty).collect()[0]
+    assert (r.max_bucket, r.candidate_pairs, r.pairs_dropped) == (0, 0, 0)
+
+
 def test_cp_guard_survives_session_gc_id_reuse():
     """The constraint-propagation guard's state is WEAKLY keyed by the
     session object: a session GC'd mid-run (acquire without release, e.g.

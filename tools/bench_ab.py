@@ -9,7 +9,8 @@ git worktree, using THAT commit's own bench.py) the requested number of
 times, then HEAD again as a drift sentinel -- the HEAD runs BRACKET the
 base runs so ordering/warm-cache effects cannot masquerade as a code
 delta.  Per-query best-of times are compared; a query only counts as a
-regression if HEAD is slower than base in BOTH bracketing runs.
+regression if HEAD is slower than base in BOTH bracketing runs by more
+than ``--margin`` (default 5% -- epsilon deltas are co-tenant jitter).
 
 Usage: python tools/bench_ab.py --base <commit> [--trials 3] [--out DIR]
 Prints one JSON line: {"base": sha, "queries": {name: {"base": s,
@@ -43,6 +44,11 @@ def _run_bench(cwd: Path, trials: int) -> dict:
             [sys.executable, "bench.py", *args],
             capture_output=True, text=True, cwd=str(cwd), timeout=1800,
         )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"bench.py in {cwd} exited {out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-15:])
+            )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None:
             best = r
@@ -58,6 +64,13 @@ def main() -> int:
     ap.add_argument("--base", required=True, help="commit to compare against")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=None, help="dir for raw per-run JSON")
+    ap.add_argument(
+        "--margin", type=float, default=0.05,
+        help="relative noise margin: a query regresses only if BOTH "
+        "bracketing HEAD runs are slower than base by more than this "
+        "fraction (co-tenant jitter on this host makes epsilon "
+        "comparisons meaningless)",
+    )
     args = ap.parse_args()
 
     sha = subprocess.run(
@@ -93,7 +106,9 @@ def main() -> int:
     table, regressions = {}, []
     for q in shared:
         b, h1, h2 = base["queries"][q], head1["queries"][q], head2["queries"][q]
-        regressed = h1 > b and h2 > b  # slower in BOTH bracketing runs
+        # slower in BOTH bracketing runs, and by more than the noise margin
+        cut = b * (1.0 + args.margin)
+        regressed = h1 > cut and h2 > cut
         table[q] = {"base": b, "head1": h1, "head2": h2, "regressed": regressed}
         if regressed:
             regressions.append(q)
