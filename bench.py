@@ -140,6 +140,8 @@ QUERY_NAMES = [
     "substring_run_extents",
     "paragraph_stats",
     "paragraph_dedup",
+    "paragraph_near_stats",
+    "decontaminate_extents",
     "url_extract",
     "source_reputation",
     "dedup_lsh_estimate",

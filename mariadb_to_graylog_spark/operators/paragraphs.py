@@ -154,7 +154,14 @@ def near_paragraph_frequency(
     joins 32-byte hash pairs to (hash, doc_id) tuples -- no text."""
     from mariadb_to_graylog_spark.operators.dedup import lsh_jaccard_verified
 
-    units = paras.groupBy("h").agg(F.min("para").alias("para"))
+    # persist the distinct-unit table: the LSH-verified chain consumes it
+    # four times (bucket relation + both gram sides + the neighbor side),
+    # and exchange reuse does not cover all of them -- unpersisted, the
+    # scan -> explode -> groupBy lineage re-ran per consumer (measured 5x
+    # the wall at bench scale).  No explicit unpersist: the cache block
+    # belongs to the returned plan, and Spark's ContextCleaner unpersists
+    # it once the caller drops the DataFrame.
+    units = paras.groupBy("h").agg(F.min("para").alias("para")).persist()
     pairs = lsh_jaccard_verified(
         units,
         id_col="h",
