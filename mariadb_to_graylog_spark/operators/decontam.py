@@ -295,9 +295,12 @@ def contamination_extents(
     up as L - n + 1 gram matches at consecutive doc positions on ONE
     diagonal (doc_pos - eval_pos constant), so maximal extents are
     islands per (doc, eval item, diagonal) -- joins + one window, no
-    Python, no suffix array.  Only contaminated documents appear (inner
-    join on the gram hash); ``contamination`` stays the cheap flag pass
-    over ALL documents.
+    Python, no suffix array.  Runs are maximal PER ALIGNMENT: text
+    repeated on either side yields one row per (doc offset, eval offset)
+    diagonal it matches on -- the audit answer to "every place this
+    leaked", deliberately not collapsed to one span per document.  Only
+    contaminated documents appear (inner join on the gram hash);
+    ``contamination`` stays the cheap flag pass over ALL documents.
 
     Scale shape mirrors ``contamination``: the eval side is small by
     definition, so its positioned grams broadcast (``pin_broadcast=True``
