@@ -1899,12 +1899,13 @@ m AS (
 ),
 i AS (
   SELECT id_a, id_b, pos_a,
-         pos_a - row_number() OVER (
+         pos_a - dense_rank() OVER (
            PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp,
          pos_a - pos_b AS diag
   FROM m
 ),
-r AS (SELECT id_a, id_b, count(*) AS c FROM i GROUP BY id_a, id_b, diag, grp)
+r AS (SELECT id_a, id_b, count(DISTINCT pos_a) AS c
+      FROM i GROUP BY id_a, id_b, diag, grp)
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(max(c) + 14 AS BIGINT) AS max_run_tokens
 FROM r GROUP BY 1, 2
@@ -2173,12 +2174,13 @@ m AS (
 ),
 i AS (
   SELECT doc_id, eval_id, diag, pos_a,
-         pos_a - row_number() OVER (
+         pos_a - dense_rank() OVER (
            PARTITION BY doc_id, eval_id, diag ORDER BY pos_a) AS grp
   FROM m
 ),
 r AS (
-  SELECT doc_id, eval_id, diag, min(pos_a) AS doc_start, count(*) AS c
+  SELECT doc_id, eval_id, diag, min(pos_a) AS doc_start,
+         count(DISTINCT pos_a) AS c
   FROM i GROUP BY doc_id, eval_id, diag, grp
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(eval_id AS BIGINT) AS eval_id,

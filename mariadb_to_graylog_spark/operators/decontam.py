@@ -106,7 +106,37 @@ def eval_gram_set(
         distinct_h.unpersist()
 
 
-def contamination_flag_udf(eval_hashes: set[int], n: int = 13, eval_broadcast=None):
+def _null_id_guard(
+    id_col: str,
+    op_name: str,
+    on_null_id: str,
+    hint: str = "pass on_null_id='drop' to drop them",
+) -> Column:
+    """The loud null-id policy, shared by every operator whose final
+    groupBy would silently merge distinct NULL-id documents: ``"error"``
+    fails map-side at the first NULL (riding a projection an explode
+    already pays for -- no extra pass); ``"drop"`` is handled by the
+    CALLER filtering before calling this (the returned column only
+    implements the error arm).  Raises ValueError on any other mode."""
+    if on_null_id not in ("error", "drop"):
+        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
+    col = F.col(id_col)
+    if on_null_id != "error":
+        return col
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{op_name}: NULL {id_col!r}; distinct documents with NULL "
+                f"ids would merge into one groupBy row ({hint})"
+            )
+        ),
+    ).otherwise(col)
+
+
+def contamination_flag_udf(
+    eval_hashes: set[int] | None = None, n: int = 13, eval_broadcast=None
+):
     """Stateless per-row contamination flag for STREAMING (and any context
     where an aggregation is unwelcome): grams are computed in Arrow
     batches and probed against the broadcast eval-hash set -- no explode,
@@ -124,16 +154,23 @@ def contamination_flag_udf(eval_hashes: set[int], n: int = 13, eval_broadcast=No
     Long-lived apps that rebuild the curation plan (e.g. a restarting
     stream) should pass the previous udf's handle back as
     ``eval_broadcast`` -- the set then ships ONCE per app, not once per
-    rebuild (``eval_hashes`` is ignored for content when a broadcast is
-    supplied); otherwise unpersist the old handle
+    rebuild; otherwise unpersist the old handle
     (``udf.eval_broadcast.unpersist()``) before dropping the udf, or
-    app-lifetime broadcasts accumulate."""
+    app-lifetime broadcasts accumulate.  Exactly ONE of ``eval_hashes``
+    / ``eval_broadcast`` must be given -- passing both would silently
+    ignore the fresh hash set in favor of the (possibly stale)
+    broadcast, so it raises instead."""
     import hashlib
     import re
 
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
+    if (eval_hashes is None) == (eval_broadcast is None):
+        raise ValueError(
+            "pass exactly one of eval_hashes (fresh set) or eval_broadcast "
+            "(reuse a previous udf's shipped set)"
+        )
     ws = re.compile(r"\s+", re.ASCII)
     if eval_broadcast is not None:
         bc = eval_broadcast
@@ -199,8 +236,9 @@ def contamination(
 
     Use ``docs.filter(~contaminated)``-style joins downstream to drop
     flagged documents before training."""
-    if on_null_id not in ("error", "drop"):
-        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
+    doc_id = _null_id_guard(id_col, "contamination", on_null_id)
+    if on_null_id == "drop":
+        docs = docs.filter(F.col(id_col).isNotNull())
     eval_grams = (
         eval_df.select(F.explode(word_ngram_hashes(F.col(eval_text_col), n)).alias("h"))
         .distinct()
@@ -208,20 +246,6 @@ def contamination(
     )
     if pin_broadcast:
         eval_grams = F.broadcast(eval_grams)
-    doc_id = F.col(id_col)
-    if on_null_id == "error":
-        doc_id = F.when(
-            doc_id.isNull(),
-            F.raise_error(
-                F.lit(
-                    f"contamination: NULL {id_col!r}; distinct documents with "
-                    f"NULL ids would merge into one groupBy row (pass "
-                    f"on_null_id='drop' to drop them)"
-                )
-            ),
-        ).otherwise(doc_id)
-    else:
-        docs = docs.filter(F.col(id_col).isNotNull())
     # explode_outer keeps gram-less (short/empty) documents as a null-h
     # row, so ONE groupBy emits every document -- no join-back of a hits
     # relation onto the doc list (that join is a doc_id shuffle the
@@ -314,33 +338,33 @@ def contamination_extents(
     cap only when eval text itself carries boilerplate.
 
     Id columns keep their ORIGINAL types; NULL doc ids follow the loud
-    null-id policy (``on_null_id``), NULL eval ids are the eval corpus
-    author's bug and are left to surface as NULL eval_id rows."""
-    if on_null_id not in ("error", "drop"):
-        raise ValueError(f"on_null_id must be 'error' or 'drop', got {on_null_id!r}")
-    from pyspark.sql.window import Window
+    null-id policy (``on_null_id``).  NULL EVAL ids always raise: the
+    eval set is small and curated by definition, and a NULL there is not
+    merely cosmetic -- all NULL-id eval items would share one window
+    partition, where interleaved positions corrupt OTHER rows' extents.
+    Duplicate eval rows (same id + text listed twice) are absorbed by the
+    island pass (``dedup.diagonal_run_islands``: dense_rank + distinct
+    positions), not double-counted."""
+    from mariadb_to_graylog_spark.operators.dedup import diagonal_run_islands
+
+    doc_id = _null_id_guard(id_col, "contamination_extents", on_null_id)
+    if on_null_id == "drop":
+        docs = docs.filter(F.col(id_col).isNotNull())
+    eval_id = _null_id_guard(
+        eval_id_col,
+        "contamination_extents",
+        "error",
+        hint="eval items need non-null ids; NULL-id items would share one "
+        "window partition and corrupt each other's extents",
+    )
 
     eg = eval_df.select(
-        F.col(eval_id_col).alias("eval_id"),
+        eval_id.alias("eval_id"),
         F.explode(word_ngram_pos_hashes(F.col(eval_text_col), n)).alias("g"),
     ).select("eval_id", F.col("g.pos").alias("pos_b"), F.col("g.h").alias("h"))
     if pin_broadcast:
         eg = F.broadcast(eg)
 
-    doc_id = F.col(id_col)
-    if on_null_id == "error":
-        doc_id = F.when(
-            doc_id.isNull(),
-            F.raise_error(
-                F.lit(
-                    f"contamination_extents: NULL {id_col!r}; runs from "
-                    f"distinct NULL-id documents would merge (pass "
-                    f"on_null_id='drop' to drop them)"
-                )
-            ),
-        ).otherwise(doc_id)
-    else:
-        docs = docs.filter(F.col(id_col).isNotNull())
     dg = docs.select(
         doc_id.alias("doc_id"),
         F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
@@ -355,17 +379,12 @@ def contamination_extents(
         "pos_a",
         (F.col("pos_a") - F.col("pos_b")).alias("diag"),
     )
-    w = Window.partitionBy("doc_id", "eval_id", "diag").orderBy("pos_a")
-    islands = matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-    return (
-        islands.groupBy("doc_id", "eval_id", "diag", "grp")
-        .agg(F.min("pos_a").alias("doc_start"), F.count(F.lit(1)).alias("c"))
-        .select(
-            "doc_id",
-            "eval_id",
-            F.col("doc_start").cast("long").alias("doc_start"),
-            (F.col("doc_start") + F.col("c") + (n - 2)).cast("long").alias("doc_end"),
-            (F.col("doc_start") - F.col("diag")).cast("long").alias("eval_start"),
-            (F.col("c") + (n - 1)).cast("long").alias("run_tokens"),
-        )
+    runs = diagonal_run_islands(matched, ["doc_id", "eval_id"], n)
+    return runs.select(
+        "doc_id",
+        "eval_id",
+        F.col("run_start").cast("long").alias("doc_start"),
+        (F.col("run_start") + F.col("run_tokens") - 1).cast("long").alias("doc_end"),
+        (F.col("run_start") - F.col("diag")).cast("long").alias("eval_start"),
+        "run_tokens",
     )

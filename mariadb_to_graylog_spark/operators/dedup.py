@@ -292,6 +292,35 @@ def ngram_bucket_stats(
     )
 
 
+def diagonal_run_islands(
+    matched: DataFrame, key_cols: list[str], n: int
+) -> DataFrame:
+    """The gaps-and-islands core shared by ``shared_run_extents`` and
+    ``decontam.contamination_extents``: ``matched`` holds gram matches as
+    (key_cols..., diag, pos_a); a verbatim run of L >= n tokens is L-n+1
+    matches at consecutive ``pos_a`` on one diagonal, so islands per
+    (key_cols, diag) recover maximal runs.  Returns one row per island:
+    (key_cols..., diag, run_start, run_tokens).
+
+    Duplicate matched rows (same key/diag/pos_a -- e.g. the same eval
+    item listed twice) are ABSORBED, not corrupting: the island key uses
+    dense_rank (identical pos_a share a rank) and the length counts
+    DISTINCT positions, so a doubled row cannot fragment a run or
+    inflate its length."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols, "diag").orderBy("pos_a")
+    islands = matched.withColumn("grp", F.col("pos_a") - F.dense_rank().over(w))
+    return (
+        islands.groupBy(*key_cols, "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("run_start"),
+            (F.count_distinct("pos_a") + (n - 1)).cast("long").alias("run_tokens"),
+        )
+        .drop("grp")
+    )
+
+
 def shared_run_extents(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -352,15 +381,9 @@ def shared_run_extents(
     matched = matched.select(
         "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    islands = matched.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-    runs = islands.groupBy("id_a", "id_b", "diag", "grp").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    runs = diagonal_run_islands(matched, ["id_a", "id_b"], n)
     return runs.groupBy("id_a", "id_b").agg(
-        (F.max("c") + (n - 1)).cast("long").alias("max_run_tokens")
+        F.max("run_tokens").alias("max_run_tokens")
     )
 
 

@@ -158,9 +158,13 @@ def near_paragraph_frequency(
     # four times (bucket relation + both gram sides + the neighbor side),
     # and exchange reuse does not cover all of them -- unpersisted, the
     # scan -> explode -> groupBy lineage re-ran per consumer (measured 5x
-    # the wall at bench scale).  No explicit unpersist: the cache block
-    # belongs to the returned plan, and Spark's ContextCleaner unpersists
-    # it once the caller drops the DataFrame.
+    # the wall at bench scale).  Dataset caches are NOT auto-released on
+    # GC (CacheManager holds them until unpersist or session stop), so
+    # the handle is exposed as ``result.units_cache`` -- long-lived
+    # drivers calling this repeatedly should
+    # ``result.units_cache.unpersist()`` once done with the result; a
+    # one-shot batch job can ignore it (one ~distinct-paragraphs-sized
+    # cache for the app's lifetime).
     units = paras.groupBy("h").agg(F.min("para").alias("para")).persist()
     pairs = lsh_jaccard_verified(
         units,
@@ -185,11 +189,13 @@ def near_paragraph_frequency(
         if exact
         else F.approx_count_distinct("doc_id", rsd)
     )
-    return (
+    out = (
         docs_per.unionByName(nb_docs)
         .groupBy("h")
         .agg(agg.cast("long").alias("n_near_docs"))
     )
+    out.units_cache = units
+    return out
 
 
 def paragraph_near_stats(
@@ -236,7 +242,7 @@ def paragraph_near_stats(
         rsd=rsd,
     )
     dup = F.col("n_near_docs") >= min_docs
-    return (
+    out = (
         paras.drop("para")
         .join(freq, "h")
         .groupBy("doc_id")
@@ -253,6 +259,8 @@ def paragraph_near_stats(
             ).alias("near_boilerplate_frac"),
         )
     )
+    out.units_cache = freq.units_cache  # see near_paragraph_frequency
+    return out
 
 
 def drop_near_duplicate_paragraphs(
@@ -277,22 +285,21 @@ def drop_near_duplicate_paragraphs(
     Join side is the frequency table filtered to flagged hashes only, so
     paragraph text crosses exactly one shuffle (reassembly)."""
     paras = explode_paragraphs(df, id_col, text_col).withColumn("h", F.md5("para"))
-    flagged = (
-        near_paragraph_frequency(
-            paras,
-            shingle_n=shingle_n,
-            bands=bands,
-            rows_per_band=rows_per_band,
-            n=n,
-            threshold=threshold,
-            max_bucket_size=max_bucket_size,
-            exact=exact,
-            rsd=rsd,
-        )
-        .filter(F.col("n_near_docs") >= min_docs)
-        .select("h", F.lit(1).alias("_dup"))
+    freq = near_paragraph_frequency(
+        paras,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        n=n,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        exact=exact,
+        rsd=rsd,
     )
-    return (
+    flagged = freq.filter(F.col("n_near_docs") >= min_docs).select(
+        "h", F.lit(1).alias("_dup")
+    )
+    out = (
         paras.join(flagged, "h", "left")
         .groupBy("doc_id")
         .agg(
@@ -313,6 +320,8 @@ def drop_near_duplicate_paragraphs(
             F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
         )
     )
+    out.units_cache = freq.units_cache  # see near_paragraph_frequency
+    return out
 
 
 def drop_duplicate_paragraphs(

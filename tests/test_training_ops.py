@@ -929,6 +929,55 @@ def test_contamination_extents_multiple_runs_per_pair(spark):
     assert got == [(0, 14, 0, 15), (25, 39, 25, 15)]
 
 
+def test_contamination_extents_dup_eval_rows_and_null_eval_ids(spark):
+    """The same eval item listed TWICE must not fragment or double-count
+    runs (dense_rank + distinct-position islands absorb the duplicate
+    matches); a NULL eval id always raises -- all NULL-id eval items
+    would share one window partition and corrupt each other's extents."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    ev_item = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"pre one two {ev_item} post")], "doc_id long, text string"
+    )
+    ev_dup = spark.createDataFrame(
+        [("e1", ev_item), ("e1", ev_item)], "doc_id string, text string"
+    )
+    rows = contamination_extents(docs, ev_dup, n=13).collect()
+    assert [(r.doc_id, r.eval_id, r.doc_start, r.doc_end, r.run_tokens)
+            for r in rows] == [(1, "e1", 3, 22, 20)]
+
+    ev_null = spark.createDataFrame(
+        [(None, ev_item)], "doc_id string, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="eval items need non-null"):
+        contamination_extents(docs, ev_null, n=13).collect()
+
+
+def test_paragraph_near_ops_expose_units_cache(spark):
+    """The persisted distinct-unit table's lifecycle is the CALLER's:
+    every paragraph-near entry point exposes it as result.units_cache,
+    and unpersisting it actually clears the cache."""
+    from mariadb_to_graylog_spark.operators.paragraphs import (
+        drop_near_duplicate_paragraphs,
+        paragraph_near_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha body\n\nshared footer"), (2, "beta body\n\nshared footer")],
+        "doc_id long, text string",
+    )
+    for fn in (paragraph_near_stats, drop_near_duplicate_paragraphs):
+        out = fn(d)
+        out.count()
+        assert out.units_cache.storageLevel.useMemory
+        out.units_cache.unpersist()
+        assert not out.units_cache.storageLevel.useMemory
+
+
 def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
     """A long-lived app rebuilding its plan can hand the previous udf's
     broadcast back in: the new udf rides the SAME broadcast (no per-rebuild
@@ -949,8 +998,16 @@ def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
 
     udf1 = contamination_flag_udf(hashes, n=13)
     assert udf1.eval_broadcast is not None
-    udf2 = contamination_flag_udf(set(), n=13, eval_broadcast=udf1.eval_broadcast)
+    udf2 = contamination_flag_udf(n=13, eval_broadcast=udf1.eval_broadcast)
     assert udf2.eval_broadcast is udf1.eval_broadcast
+    # passing both (or neither) is ambiguous -- the fresh set would be
+    # silently ignored for the possibly-stale broadcast -- so it raises
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination_flag_udf(hashes, n=13, eval_broadcast=udf1.eval_broadcast)
+    with pytest.raises(ValueError, match="exactly one"):
+        contamination_flag_udf(n=13)
 
     docs = spark.createDataFrame(
         [(1, f"pad {eval_item} pad"), (2, "nothing to see in this one at all")],
