@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "winnow_overlap",
     "substring_pairs",
     "substring_run_extents",
+    "verbatim_coverage",
     "paragraph_stats",
     "paragraph_dedup",
     "paragraph_near_stats",

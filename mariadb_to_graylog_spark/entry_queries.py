@@ -1912,6 +1912,80 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_verbatim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al dedup DECISION metric over the containment corpus:
+    fraction of each doc's tokens inside any >= 15-token run shared with
+    any other doc, overlapping runs from different partners counted once
+    (interval union).  Excerpt docs approach coverage 1.0; clean docs
+    report 0.0."""
+    d = docs_with_excerpts(spark, sf_dir)
+    return dd.verbatim_coverage(d, n=15).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "covered_tokens",
+        "coverage",
+    )
+
+
+ORACLE_VERBATIM_COVERAGE = f"""
+WITH d AS ({_SQL_EXCERPTS}),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
+tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 14, 0) + 1),
+      i -> {{'pos': i - 1,
+            'h': CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 14),
+                   ' ')), 1, 8) AS BIGINT)}})) AS u
+    FROM t
+  )
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id != b.doc_id
+),
+i AS (
+  SELECT id_a, id_b, diag, pos_a,
+         pos_a - dense_rank() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM m
+),
+r AS (
+  SELECT id_a AS id, min(pos_a) AS s_,
+         min(pos_a) + count(DISTINCT pos_a) + 13 AS e_
+  FROM i GROUP BY id_a, id_b, diag, grp
+),
+u AS (
+  SELECT id, s_, e_,
+         CASE WHEN s_ > coalesce(max(e_) OVER (
+                PARTITION BY id ORDER BY s_, e_
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_
+  FROM r
+),
+uu AS (
+  SELECT id, s_, e_,
+         sum(new_) OVER (PARTITION BY id ORDER BY s_, e_
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM u
+),
+mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp),
+cov AS (SELECT id, sum(me - ms + 1) AS covered FROM mg GROUP BY id)
+SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(covered, 0)::DOUBLE / n_tokens, 6) AS coverage
+FROM tok LEFT JOIN cov ON cov.id = tok.doc_id
+"""
+
+
 def docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents restructured into paragraph-shaped pages: the text's two
     halves plus a PLANTED per-language boilerplate footer ('subscribe'
@@ -2417,6 +2491,7 @@ TRAINING_QUERIES = {
     "domain_reputation": q_domain_reputation,
     "substring_pairs": q_substring_pairs,
     "substring_run_extents": q_substring_run_extents,
+    "verbatim_coverage": q_verbatim_coverage,
     "paragraph_stats": q_paragraph_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_near_stats": q_paragraph_near_stats,
@@ -2459,6 +2534,7 @@ TRAINING_ORACLES = {
     "domain_reputation": ORACLE_DOMAIN_REPUTATION,
     "substring_pairs": ORACLE_SUBSTRING_PAIRS,
     "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
+    "verbatim_coverage": ORACLE_VERBATIM_COVERAGE,
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_near_stats": ORACLE_PARAGRAPH_NEAR_STATS,

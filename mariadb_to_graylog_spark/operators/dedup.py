@@ -336,10 +336,10 @@ def shared_run_extents(
     a run of L >= n tokens appears as L - n + 1 shared grams at
     CONSECUTIVE positions on one DIAGONAL (pos_a - pos_b constant), so
     extents fall out of a gaps-and-islands pass over matched gram
-    positions: group by (pair, diagonal), island key = pos_a -
-    row_number(), longest island + n - 1 = the run length.  Whole pass is
-    joins + window functions -- no Python, no per-pair materialized
-    texts.
+    positions (``diagonal_run_islands``): group by (pair, diagonal),
+    island key = pos_a - dense_rank, longest island + n - 1 = the run
+    length.  Whole pass is joins + window functions -- no Python, no
+    per-pair materialized texts.
 
     ``pairs`` restricts the position join to a precomputed candidate set
     (feed ``shared_ngram_pairs`` output when it already exists).  With
@@ -384,6 +384,95 @@ def shared_run_extents(
     runs = diagonal_run_islands(matched, ["id_a", "id_b"], n)
     return runs.groupBy("id_a", "id_b").agg(
         F.max("run_tokens").alias("max_run_tokens")
+    )
+
+
+def verbatim_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, covered_tokens, coverage): the fraction of each
+    document's tokens lying inside ANY verbatim run of >= ``n`` tokens
+    shared with ANY OTHER document -- the actual Lee-et-al dedup
+    DECISION metric ("drop/trim documents with more than X% duplicated
+    content"), which pair lists and max-run lengths only approximate.
+    Every document appears; clean documents report coverage 0.0.
+
+    Composition: the ``shared_run_extents`` position self-join (both
+    orientations -- each document's coverage counts overlap with every
+    partner) -> ``diagonal_run_islands`` -> per-document INTERVAL UNION,
+    so two runs shared with different partners over the same span count
+    that span once.  The union is one windowed pass: intervals sorted by
+    start per doc, a run's island starts where its start exceeds the
+    running max end of everything before it.
+
+    Scale shape: identical to ``shared_run_extents`` (hash-bucketed
+    position join, 16-byte tuples, ``max_bucket_size`` bounding
+    occurrence-degenerate grams) plus one exchange keyed by doc id for
+    the union -- interval counts are bounded by run counts, which the
+    gram cap already bounds.  Token counts ride the same map-side
+    projection that computes grams; an empty/whitespace text normalizes
+    to one empty token (n_tokens=1, coverage 0)."""
+    from pyspark.sql.window import Window
+
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    pg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    if max_bucket_size is not None:
+        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+    a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    matched = (
+        a.join(b, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
+        F.col("id_a").alias("id"),
+        F.col("run_start").alias("s"),
+        (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = runs.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("id", "_grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    covered = merged.groupBy("id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens")
+    )
+    return toks.join(covered, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("coverage"),
     )
 
 

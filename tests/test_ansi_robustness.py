@@ -105,8 +105,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "paragraph_dedup", "url_extract", "source_reputation",
      "domain_reputation", "decontaminate_bucketed",
      # round 5: positioned-gram eval join + diagonal windows; paragraph
-     # units -> LSH-verified one-hop neighborhood
-     "decontaminate_extents", "paragraph_near_stats"],
+     # units -> LSH-verified one-hop neighborhood; interval-union coverage
+     "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Round-3/4 training operators must return IDENTICAL rows with ANSI

@@ -1208,6 +1208,40 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
+def test_verbatim_coverage_interval_union(spark):
+    """Coverage = union of shared-run intervals per doc: a doc sharing
+    overlapping runs with TWO different partners counts the overlap once;
+    a fully-contained doc reports coverage 1.0; a clean doc 0.0."""
+    from mariadb_to_graylog_spark.operators.dedup import verbatim_coverage
+
+    w = [f"w{i}" for i in range(30)]  # 30 shared-vocabulary tokens
+    uniq = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        # doc 1: tokens 0..29 of w, flanked by unique filler (10 + 10)
+        (1, f"{uniq('a', 10)} {' '.join(w)} {uniq('b', 10)}"),
+        # doc 2: shares w[0..19] with doc 1 (plus unique tail)
+        (2, f"{' '.join(w[0:20])} {uniq('c', 15)}"),
+        # doc 3: shares w[10..29] with doc 1 (plus unique head)
+        (3, f"{uniq('d', 15)} {' '.join(w[10:30])}"),
+        # doc 4: fully contained in doc 1 (a verbatim slice, 16 tokens)
+        (4, " ".join(w[5:21])),
+        (5, "completely clean unique document with no overlap at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens, r.coverage)
+        for r in verbatim_coverage(d, n=15).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # doc 1: runs w[0..19] (doc 2), w[10..29] (doc 3), w[5..20] (doc 4)
+    # all overlap -> union exactly w[0..29] = 30 tokens at offset 10
+    assert got[1] == (50, 30, 0.6)
+    assert got[2] == (35, 20, round(20 / 35, 6))
+    assert got[3] == (35, 20, round(20 / 35, 6))
+    assert got[4] == (16, 16, 1.0)  # fully contained
+    assert got[5] == (10, 0, 0.0)
+
+
 def test_paragraph_dedup_planted_boilerplate(spark):
     """Planted boilerplate: unique bodies + one footer shared by all docs.
     Stats must attribute exactly the footer to duplication, and the
