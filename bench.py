@@ -139,6 +139,7 @@ QUERY_NAMES = [
     "substring_pairs",
     "substring_run_extents",
     "verbatim_coverage",
+    "trim_verbatim",
     "paragraph_stats",
     "paragraph_dedup",
     "paragraph_near_stats",

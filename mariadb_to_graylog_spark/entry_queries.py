@@ -1986,6 +1986,92 @@ FROM tok LEFT JOIN cov ON cov.id = tok.doc_id
 """
 
 
+def q_trim_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring DEDUPLICATION (not just detection): every >= 15-token
+    span also present in a lower-id document is trimmed, so one
+    occurrence of each duplicated run survives corpus-wide; excerpt
+    docs lose their pasted spans, sources keep theirs."""
+    d = docs_with_excerpts(spark, sf_dir)
+    return dd.trim_verbatim_runs(d, n=15).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "trimmed_text",
+        "n_tokens",
+        "n_tokens_removed",
+    )
+
+
+ORACLE_TRIM_VERBATIM = f"""
+WITH d AS ({_SQL_EXCERPTS}),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 14, 0) + 1),
+      i -> {{'pos': i - 1,
+            'h': CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 14),
+                   ' ')), 1, 8) AS BIGINT)}})) AS u
+    FROM t
+  )
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id > b.doc_id
+),
+i AS (
+  SELECT id_a, id_b, diag, pos_a,
+         pos_a - dense_rank() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM m
+),
+r AS (
+  SELECT id_a AS id, min(pos_a) AS s_,
+         min(pos_a) + count(DISTINCT pos_a) + 13 AS e_
+  FROM i GROUP BY id_a, id_b, diag, grp
+),
+u AS (
+  SELECT id, s_, e_,
+         CASE WHEN s_ > coalesce(max(e_) OVER (
+                PARTITION BY id ORDER BY s_, e_
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_
+  FROM r
+),
+uu AS (
+  SELECT id, s_, e_,
+         sum(new_) OVER (PARTITION BY id ORDER BY s_, e_
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM u
+),
+mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp),
+iv AS (
+  SELECT id, list({{'ms': ms, 'me': me}} ORDER BY ms) AS ivs FROM mg GROUP BY id
+),
+j AS (
+  SELECT t.doc_id, t.toks,
+         coalesce(iv.ivs, []::STRUCT(ms BIGINT, me BIGINT)[]) AS ivs
+  FROM t LEFT JOIN iv ON iv.id = t.doc_id
+),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           len(list_filter(ivs, v -> (i - 1) >= v.ms AND (i - 1) <= v.me)) = 0
+         ) AS kept
+  FROM j
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS trimmed_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM k
+"""
+
+
 def docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents restructured into paragraph-shaped pages: the text's two
     halves plus a PLANTED per-language boilerplate footer ('subscribe'
@@ -2492,6 +2578,7 @@ TRAINING_QUERIES = {
     "substring_pairs": q_substring_pairs,
     "substring_run_extents": q_substring_run_extents,
     "verbatim_coverage": q_verbatim_coverage,
+    "trim_verbatim": q_trim_verbatim,
     "paragraph_stats": q_paragraph_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_near_stats": q_paragraph_near_stats,
@@ -2535,6 +2622,7 @@ TRAINING_ORACLES = {
     "substring_pairs": ORACLE_SUBSTRING_PAIRS,
     "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
     "verbatim_coverage": ORACLE_VERBATIM_COVERAGE,
+    "trim_verbatim": ORACLE_TRIM_VERBATIM,
     "paragraph_stats": ORACLE_PARAGRAPH_STATS,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_near_stats": ORACLE_PARAGRAPH_NEAR_STATS,

@@ -476,6 +476,122 @@ def verbatim_coverage(
     )
 
 
+def trim_verbatim_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_id, trimmed_text, n_tokens, n_tokens_removed): Lee-et-al
+    substring DEDUPLICATION, not just detection -- every token span of
+    >= ``n`` tokens that also appears in a LOWER-id document is removed,
+    so exactly one occurrence of each duplicated run survives corpus-wide
+    (the lowest-id one; the deterministic stand-in for "keep the first
+    occurrence").  A doc sharing nothing keeps its text; a doc fully
+    contained in a lower-id doc comes back as an empty husk (caller
+    filters), mirroring ``drop_duplicate_paragraphs``.
+
+    ``trimmed_text`` is the space-joined surviving tokens of the
+    NORMALIZED text (lowercased, whitespace-collapsed) -- the same token
+    stream the runs are defined on; trimming raw text would need
+    original-offset bookkeeping the gram pipeline deliberately discards.
+
+    Shape: the ``verbatim_coverage`` interval machinery restricted to
+    ``id_a > id_b`` matches, intervals unioned per doc, then ONE
+    map-side higher-order filter drops covered token positions -- the
+    per-doc interval list joins back as an array (bounded by run count,
+    which the gram cap bounds), text shuffles only on that final join."""
+    from pyspark.sql.window import Window
+
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    pg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    if max_bucket_size is not None:
+        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+    a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    matched = (
+        a.join(b, "h")
+        .filter(F.col("id_a") > F.col("id_b"))  # keep the lowest-id copy
+        .select(
+            "id_a",
+            "id_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
+        F.col("id_a").alias("id"),
+        F.col("run_start").alias("s"),
+        (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        runs.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id", "_grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ms"), F.col("me")))
+            ).alias("ivs")
+        )
+    )
+    from mariadb_to_graylog_spark.operators.textstats import bind_once
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def _trim(ts: Column, ivs: Column) -> Column:
+        # ts is a materialized column (attribute reads are free); the
+        # filtered array is bound once -- HOF expressions are interpreted
+        # with no CSE, and the per-token exists() scan is the costly part
+        def _pack(kept: Column) -> Column:
+            return F.struct(
+                F.array_join(kept, " ").alias("txt"),
+                (F.size(ts) - F.size(kept)).cast("long").alias("removed"),
+                F.size(ts).cast("long").alias("total"),
+            )
+
+        return bind_once(
+            F.filter(
+                ts,
+                lambda x, i: ~F.exists(
+                    ivs, lambda iv: (i >= iv["ms"]) & (i <= iv["me"])
+                ),
+            ),
+            _pack,
+        )
+
+    out = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .join(merged, "id", "left")
+        .withColumn(
+            "_ivs",
+            F.coalesce(F.col("ivs"), F.array().cast("array<struct<ms:long,me:long>>")),
+        )
+        .select("id", _trim(F.col("_toks"), F.col("_ivs")).alias("_t"))
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("_t.txt").alias("trimmed_text"),
+        F.col("_t.total").alias("n_tokens"),
+        F.col("_t.removed").alias("n_tokens_removed"),
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -106,7 +106,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "domain_reputation", "decontaminate_bucketed",
      # round 5: positioned-gram eval join + diagonal windows; paragraph
      # units -> LSH-verified one-hop neighborhood; interval-union coverage
-     "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage"],
+     "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage",
+     "trim_verbatim"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Round-3/4 training operators must return IDENTICAL rows with ANSI

@@ -1242,6 +1242,32 @@ def test_verbatim_coverage_interval_union(spark):
     assert got[5] == (10, 0, 0.0)
 
 
+def test_trim_verbatim_runs_keeps_lowest_id_copy(spark):
+    """One occurrence of each duplicated run survives: the LOWEST-id doc
+    keeps its text untouched, higher-id docs lose the shared span
+    (interior trims splice around it); a doc fully contained in a
+    lower-id doc returns an empty husk; clean docs pass through
+    normalized."""
+    from mariadb_to_graylog_spark.operators.dedup import trim_verbatim_runs
+
+    w = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(w)),                                 # source: keeps all
+        (2, "head one two " + " ".join(w) + " tail three"),  # interior trim
+        (3, " ".join(w[0:16])),                            # fully contained
+        (4, "Fully CLEAN   doc with nothing shared here"),  # normalization only
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.trimmed_text, r.n_tokens, r.n_tokens_removed)
+        for r in trim_verbatim_runs(d, n=15).collect()
+    }
+    assert got[1] == (" ".join(w), 20, 0)
+    assert got[2] == ("head one two tail three", 25, 20)
+    assert got[3] == ("", 16, 16)
+    assert got[4] == ("fully clean doc with nothing shared here", 7, 0)
+
+
 def test_paragraph_dedup_planted_boilerplate(spark):
     """Planted boilerplate: unique bodies + one footer shared by all docs.
     Stats must attribute exactly the footer to duplication, and the
