@@ -133,6 +133,7 @@ def near_paragraph_frequency(
     max_bucket_size: int | None = None,
     exact: bool = True,
     rsd: float = 0.02,
+    persist_units: bool = False,
 ) -> DataFrame:
     """(h, n_near_docs) -- for each distinct paragraph (md5 key), the
     number of DISTINCT documents containing it *or a near-duplicate of
@@ -154,18 +155,23 @@ def near_paragraph_frequency(
     joins 32-byte hash pairs to (hash, doc_id) tuples -- no text."""
     from mariadb_to_graylog_spark.operators.dedup import lsh_jaccard_verified
 
-    # persist the distinct-unit table: the LSH-verified chain consumes it
-    # four times (bucket relation + both gram sides + the neighbor side),
-    # and exchange reuse does not cover all of them -- unpersisted, the
-    # scan -> explode -> groupBy lineage re-ran per consumer (measured 5x
-    # the wall at bench scale).  Dataset caches are NOT auto-released on
-    # GC (CacheManager holds them until unpersist or session stop), so
-    # the handle is exposed as ``result.units_cache`` -- long-lived
-    # drivers calling this repeatedly should
-    # ``result.units_cache.unpersist()`` once done with the result; a
-    # one-shot batch job can ignore it (one ~distinct-paragraphs-sized
-    # cache for the app's lifetime).
-    units = paras.groupBy("h").agg(F.min("para").alias("para")).persist()
+    # ``persist_units`` caches the distinct-unit table, which the
+    # LSH-verified chain consumes four times (bucket relation + both
+    # gram sides + the neighbor side).  MEASURED BOTH WAYS, default OFF:
+    # on a small corpus under the default session config the recompute
+    # dominated (9.5s -> 4.3s with the cache at sf0.1/32 partitions),
+    # but at 25k-page/96-partition bench scale the cache made the whole
+    # pass 2.2x SLOWER (11s -> 24s, reproducible A/B) -- an
+    # InMemoryRelation input deprives AQE of the runtime-stats planning
+    # and exchange reuse that make the recomputed lineage cheap, and the
+    # lineage is all map-side work that scales, while cache-vs-AQE loss
+    # grows.  When enabled, note Dataset caches are NOT auto-released on
+    # GC (CacheManager holds them until unpersist or session stop): the
+    # handle is exposed as ``result.units_cache`` and long-lived drivers
+    # must ``result.units_cache.unpersist()`` when done.
+    units = paras.groupBy("h").agg(F.min("para").alias("para"))
+    if persist_units:
+        units = units.persist()
     pairs = lsh_jaccard_verified(
         units,
         id_col="h",
@@ -194,7 +200,7 @@ def near_paragraph_frequency(
         .groupBy("h")
         .agg(agg.cast("long").alias("n_near_docs"))
     )
-    out.units_cache = units
+    out.units_cache = units if persist_units else None
     return out
 
 
@@ -211,6 +217,7 @@ def paragraph_near_stats(
     max_bucket_size: int | None = None,
     exact: bool = True,
     rsd: float = 0.02,
+    persist_units: bool = False,
 ) -> DataFrame:
     """``paragraph_stats`` for TEMPLATED boilerplate -- the per-page
     variation md5 cannot see ('Subscribe to the {lang} newsletter'):
@@ -240,6 +247,7 @@ def paragraph_near_stats(
         max_bucket_size=max_bucket_size,
         exact=exact,
         rsd=rsd,
+        persist_units=persist_units,
     )
     dup = F.col("n_near_docs") >= min_docs
     out = (
@@ -276,6 +284,7 @@ def drop_near_duplicate_paragraphs(
     max_bucket_size: int | None = None,
     exact: bool = True,
     rsd: float = 0.02,
+    persist_units: bool = False,
 ) -> DataFrame:
     """``drop_duplicate_paragraphs`` under the NEAR-duplicate
     classification of ``paragraph_near_stats``: (doc_id, clean_text,
@@ -295,6 +304,7 @@ def drop_near_duplicate_paragraphs(
         max_bucket_size=max_bucket_size,
         exact=exact,
         rsd=rsd,
+        persist_units=persist_units,
     )
     flagged = freq.filter(F.col("n_near_docs") >= min_docs).select(
         "h", F.lit(1).alias("_dup")

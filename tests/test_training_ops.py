@@ -958,9 +958,11 @@ def test_contamination_extents_dup_eval_rows_and_null_eval_ids(spark):
 
 
 def test_paragraph_near_ops_expose_units_cache(spark):
-    """The persisted distinct-unit table's lifecycle is the CALLER's:
-    every paragraph-near entry point exposes it as result.units_cache,
-    and unpersisting it actually clears the cache."""
+    """persist_units=True caches the distinct-unit table with the
+    lifecycle owned by the CALLER: every paragraph-near entry point
+    exposes the handle as result.units_cache, unpersisting it clears the
+    cache, and the default (off -- measured slower at bench scale, see
+    near_paragraph_frequency) leaves the handle None and results equal."""
     from mariadb_to_graylog_spark.operators.paragraphs import (
         drop_near_duplicate_paragraphs,
         paragraph_near_stats,
@@ -971,11 +973,14 @@ def test_paragraph_near_ops_expose_units_cache(spark):
         "doc_id long, text string",
     )
     for fn in (paragraph_near_stats, drop_near_duplicate_paragraphs):
-        out = fn(d)
-        out.count()
+        out = fn(d, persist_units=True)
+        rows = sorted(tuple(r) for r in out.collect())
         assert out.units_cache.storageLevel.useMemory
         out.units_cache.unpersist()
         assert not out.units_cache.storageLevel.useMemory
+        plain = fn(d)
+        assert plain.units_cache is None
+        assert sorted(tuple(r) for r in plain.collect()) == rows
 
 
 def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
@@ -1240,6 +1245,76 @@ def test_verbatim_coverage_interval_union(spark):
     assert got[3] == (35, 20, round(20 / 35, 6))
     assert got[4] == (16, 16, 1.0)  # fully contained
     assert got[5] == (10, 0, 0.0)
+
+
+def test_verbatim_coverage_and_trim_match_bruteforce(spark):
+    """Exactness of the diagonal-islands + interval-union machinery vs an
+    O(docs^2 * len^2) Python reference on seeded small-vocabulary corpora
+    -- tiny vocab makes ACCIDENTAL >= n-token runs likely, stressing
+    overlapping/nested/repeated-run geometry no hand-planted case covers."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.dedup import (
+        trim_verbatim_runs,
+        verbatim_coverage,
+    )
+
+    def brute(docs, n):
+        toks = {i: t.lower().split() for i, t in docs}
+        cov = {i: set() for i in toks}
+        cov_lower = {i: set() for i in toks}
+        for a in toks:
+            for b in toks:
+                if a == b:
+                    continue
+                ta, tb = toks[a], toks[b]
+                for ia in range(len(ta)):
+                    for ib in range(len(tb)):
+                        L = 0
+                        while (
+                            ia + L < len(ta)
+                            and ib + L < len(tb)
+                            and ta[ia + L] == tb[ib + L]
+                        ):
+                            L += 1
+                        if L >= n:
+                            cov[a].update(range(ia, ia + L))
+                            if b < a:
+                                cov_lower[a].update(range(ia, ia + L))
+        return toks, cov, cov_lower
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(8)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(12)
+        ]
+        toks, cov, cov_lower = brute(docs, n=5)
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+
+        got_cov = {
+            r.doc_id: (r.n_tokens, r.covered_tokens)
+            for r in verbatim_coverage(d, n=5).collect()
+        }
+        assert got_cov == {
+            i: (len(toks[i]), len(cov[i])) for i in toks
+        }, f"coverage mismatch at seed {seed}"
+
+        got_trim = {
+            r.doc_id: (r.trimmed_text, r.n_tokens_removed)
+            for r in trim_verbatim_runs(d, n=5).collect()
+        }
+        want_trim = {
+            i: (
+                " ".join(
+                    t for p, t in enumerate(toks[i]) if p not in cov_lower[i]
+                ),
+                len(cov_lower[i]),
+            )
+            for i in toks
+        }
+        assert got_trim == want_trim, f"trim mismatch at seed {seed}"
 
 
 def test_trim_verbatim_runs_keeps_lowest_id_copy(spark):

@@ -155,12 +155,20 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ev = d.filter(F.col("doc_id") < 25)
         return contamination_extents(d, ev, n=15, max_bucket_size=cap).count()
 
+    def coverage():
+        return dd.verbatim_coverage(d, n=15, max_bucket_size=cap).count()
+
+    def trim():
+        return dd.trim_verbatim_runs(d, n=15, max_bucket_size=cap).count()
+
     def domain_rep():
         return tx.domain_reputation(d).count()
 
     for name, fn in [
         ("substring_pairs", substring_pairs),
         ("shared_run_extents", run_extents),
+        ("verbatim_coverage", coverage),
+        ("trim_verbatim", trim),
         ("paragraph_dedup", paragraph_dedup),
         ("paragraph_near_stats", paragraph_near),
         ("decontaminate_extents", decontam_extents),
@@ -435,6 +443,8 @@ def main() -> int:
         ("dedup_groups_keep_one", "n_docs"),
         ("substring_pairs", "n_docs"),
         ("shared_run_extents", "n_docs"),
+        ("verbatim_coverage", "n_docs"),
+        ("trim_verbatim", "n_docs"),
         ("paragraph_dedup", "n_docs"),
         ("paragraph_near_stats", "n_docs"),
         ("decontaminate_extents", "n_docs"),
@@ -480,8 +490,10 @@ def main() -> int:
         "**Round-5 operators** on the same page corpus: "
         "paragraph_near_stats (LSH-verified one-hop neighborhood over "
         "DISTINCT paragraphs -- the distinct-unit collapse is why 4x "
-        "pages cost ~3x, not 16x) and decontaminate_extents (FIXED "
-        "25-page eval set, broadcast positioned grams).  The extents "
+        "pages cost ~3x, not 16x), verbatim_coverage / trim_verbatim "
+        "(the interval-union + keep-lowest trim over the same capped "
+        "position join as the substring ops), and decontaminate_extents "
+        "(FIXED 25-page eval set, broadcast positioned grams).  The extents "
         "result-row count legitimately SHRINKS at 4x docs: domain-class "
         "URL-sentence grams cross the occurrence cap as class occupancy "
         "quadruples, so those (deterministically reported) degenerate "
