@@ -1927,29 +1927,35 @@ def q_verbatim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_VERBATIM_COVERAGE = f"""
+def _verbatim_merged_ctes(pred: str) -> str:
+    """Shared oracle CTE chain for the extents family over the excerpts
+    corpus: normalized tokens -> positioned FULL-md5 grams (the
+    coverage/trim ops use 128-bit gram identity -- see
+    dedup._positioned_grams) -> ``pred``-oriented matches -> dense_rank
+    islands -> per-doc MERGED intervals (CTE ``mg``: id, ms, me) -- one
+    definition so the twin oracles cannot drift."""
+    return f"""
 WITH d AS ({_SQL_EXCERPTS}),
 s AS (
   SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
   FROM d
 ),
 t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
-tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
 g AS (
   SELECT doc_id, u.pos AS pos, u.h AS h FROM (
     SELECT doc_id, unnest(list_transform(
       range(1, greatest(len(toks) - 14, 0) + 1),
       i -> {{'pos': i - 1,
-            'h': CAST('0x' || substr(md5(array_to_string(
+            'h': md5(array_to_string(
                    list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 14),
-                   ' ')), 1, 8) AS BIGINT)}})) AS u
+                   ' '))}})) AS u
     FROM t
   )
 ),
 m AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
          a.pos - b.pos AS diag
-  FROM g a JOIN g b ON a.h = b.h AND a.doc_id != b.doc_id
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id {pred} b.doc_id
 ),
 i AS (
   SELECT id_a, id_b, diag, pos_a,
@@ -1976,7 +1982,13 @@ uu AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
   FROM u
 ),
-mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp),
+mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp)"""
+
+
+ORACLE_VERBATIM_COVERAGE = (
+    _verbatim_merged_ctes("!=")
+    + """,
+tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
 cov AS (SELECT id, sum(me - ms + 1) AS covered FROM mg GROUP BY id)
 SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1984,6 +1996,7 @@ SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
        round(coalesce(covered, 0)::DOUBLE / n_tokens, 6) AS coverage
 FROM tok LEFT JOIN cov ON cov.id = tok.doc_id
 """
+)
 
 
 def q_trim_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,57 +2013,11 @@ def q_trim_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TRIM_VERBATIM = f"""
-WITH d AS ({_SQL_EXCERPTS}),
-s AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
-  FROM d
-),
-t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
-g AS (
-  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
-    SELECT doc_id, unnest(list_transform(
-      range(1, greatest(len(toks) - 14, 0) + 1),
-      i -> {{'pos': i - 1,
-            'h': CAST('0x' || substr(md5(array_to_string(
-                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 14),
-                   ' ')), 1, 8) AS BIGINT)}})) AS u
-    FROM t
-  )
-),
-m AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
-         a.pos - b.pos AS diag
-  FROM g a JOIN g b ON a.h = b.h AND a.doc_id > b.doc_id
-),
-i AS (
-  SELECT id_a, id_b, diag, pos_a,
-         pos_a - dense_rank() OVER (
-           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
-  FROM m
-),
-r AS (
-  SELECT id_a AS id, min(pos_a) AS s_,
-         min(pos_a) + count(DISTINCT pos_a) + 13 AS e_
-  FROM i GROUP BY id_a, id_b, diag, grp
-),
-u AS (
-  SELECT id, s_, e_,
-         CASE WHEN s_ > coalesce(max(e_) OVER (
-                PARTITION BY id ORDER BY s_, e_
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS new_
-  FROM r
-),
-uu AS (
-  SELECT id, s_, e_,
-         sum(new_) OVER (PARTITION BY id ORDER BY s_, e_
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-  FROM u
-),
-mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp),
+ORACLE_TRIM_VERBATIM = (
+    _verbatim_merged_ctes(">")
+    + """,
 iv AS (
-  SELECT id, list({{'ms': ms, 'me': me}} ORDER BY ms) AS ivs FROM mg GROUP BY id
+  SELECT id, list({'ms': ms, 'me': me} ORDER BY ms) AS ivs FROM mg GROUP BY id
 ),
 j AS (
   SELECT t.doc_id, t.toks,
@@ -2070,6 +2037,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
 FROM k
 """
+)
 
 
 def docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,12 +47,23 @@ def word_ngram_hashes(c: Column, n: int = 13) -> Column:
     return bind_once(F.split(normalize_text(c), " "), _grams)
 
 
-def word_ngram_pos_hashes(c: Column, n: int = 13) -> Column:
+def word_ngram_pos_hashes(
+    c: Column, n: int = 13, hasher=None, hash_type: str = "long"
+) -> Column:
     """POSITIONED n-gram hashes: array of (pos, h) structs, one per
     window start (0-based token position), NOT distinct -- the input for
     run-extent recovery (``dedup.shared_run_extents``), where gram
     POSITIONS carry the signal that ``word_ngram_hashes`` deliberately
-    discards."""
+    discards.
+
+    ``hasher`` defaults to the 8-byte h32 (right for DETECTION: a 2^-32
+    collision makes a spurious candidate, nothing more).  Operators that
+    DELETE on a match (``dedup.trim_verbatim_runs`` and the coverage
+    that feeds drop decisions) pass ``hasher=F.md5, hash_type='string'``
+    -- full 128-bit gram identity, because at corpus scale 32-bit
+    collisions are expected in the millions and each one would fabricate
+    an n-token run."""
+    h = hasher if hasher is not None else h32
 
     def _grams(toks: Column) -> Column:
         cnt = F.size(toks) - (n - 1)
@@ -62,10 +73,10 @@ def word_ngram_pos_hashes(c: Column, n: int = 13) -> Column:
                 F.sequence(F.lit(1), cnt),
                 lambda i: F.struct(
                     (i - 1).cast("long").alias("pos"),
-                    h32(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
+                    h(F.array_join(F.slice(toks, i, n), " ")).alias("h"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+        ).otherwise(F.array().cast(f"array<struct<pos:long,h:{hash_type}>>"))
 
     return bind_once(F.split(normalize_text(c), " "), _grams)
 

@@ -321,6 +321,59 @@ def diagonal_run_islands(
     )
 
 
+def _positioned_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_bucket_size: int | None,
+    hasher=None,
+    hash_type: str = "long",
+) -> DataFrame:
+    """Capped positioned-gram table (id, pos, h) shared by the whole
+    extents family (``shared_run_extents`` / ``verbatim_coverage`` /
+    ``trim_verbatim_runs``) so cap semantics and hashing cannot drift
+    between the detection and the destructive ops.  ``max_bucket_size``
+    counts gram OCCURRENCES (a gram occurring k times per side emits k^2
+    matched positions per pair -- the quadratic the cap bounds)."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+
+    pg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            word_ngram_pos_hashes(F.col(text_col), n, hasher, hash_type)
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    if max_bucket_size is not None:
+        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+    return pg
+
+
+def _merged_intervals(runs: DataFrame) -> DataFrame:
+    """Per-id interval union of (id, s, e) runs -- one windowed pass: an
+    interval starts a new island iff its start exceeds the running max
+    end of everything sorted before it.  Returns (id, ms, me) merged
+    intervals; shared by ``verbatim_coverage`` and
+    ``trim_verbatim_runs``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        runs.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id", "_grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .drop("_grp")
+    )
+
+
 def shared_run_extents(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -351,17 +404,7 @@ def shared_run_extents(
     grams on BOTH paths (counted over gram OCCURRENCES here, not
     distinct docs -- a gram occurring k times per side emits k^2 matched
     positions per pair, which is exactly what the cap exists to bound)."""
-    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
-
-    pg = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    if max_bucket_size is not None:
-        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
-        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop(
-            "_bn"
-        )
+    pg = _positioned_grams(df, id_col, text_col, n, max_bucket_size)
     b = pg.select(
         F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
     )
@@ -409,16 +452,17 @@ def verbatim_coverage(
     start per doc, a run's island starts where its start exceeds the
     running max end of everything before it.
 
-    Scale shape: identical to ``shared_run_extents`` (hash-bucketed
-    position join, 16-byte tuples, ``max_bucket_size`` bounding
-    occurrence-degenerate grams) plus one exchange keyed by doc id for
-    the union -- interval counts are bounded by run counts, which the
-    gram cap already bounds.  Token counts ride the same map-side
-    projection that computes grams; an empty/whitespace text normalizes
-    to one empty token (n_tokens=1, coverage 0)."""
-    from pyspark.sql.window import Window
-
-    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+    Scale shape: the ``shared_run_extents`` position join plus one
+    exchange keyed by doc id for the union -- interval counts are
+    bounded by run counts, which the gram cap already bounds.  Because
+    this score FEEDS DROP DECISIONS, grams carry their FULL 128-bit md5
+    (32-byte join keys instead of 8): at corpus scale 32-bit collisions
+    number in the millions and each would fabricate an n-token run;
+    detection-only siblings keep the cheap h32.  Token counts come from
+    a second map-side projection over the source (one extra scan branch,
+    no shuffle -- cheaper than carrying the count through the gram
+    explode); an empty/whitespace text normalizes to one empty token
+    (n_tokens=1, coverage 0)."""
     from mariadb_to_graylog_spark.operators.textstats import normalize_text
 
     toks = df.select(
@@ -427,13 +471,9 @@ def verbatim_coverage(
             "n_tokens"
         ),
     )
-    pg = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    if max_bucket_size is not None:
-        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
-        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+    pg = _positioned_grams(
+        df, id_col, text_col, n, max_bucket_size, hasher=F.md5, hash_type="string"
+    )
     a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
     matched = (
@@ -451,19 +491,7 @@ def verbatim_coverage(
         F.col("run_start").alias("s"),
         (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
     )
-    w = Window.partitionBy("id").orderBy("s", "e")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = runs.withColumn(
-        "_new",
-        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
-    ).withColumn(
-        "_grp",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    merged = islands.groupBy("id", "_grp").agg(
-        F.min("s").alias("ms"), F.max("e").alias("me")
-    )
-    covered = merged.groupBy("id").agg(
+    covered = _merged_intervals(runs).groupBy("id").agg(
         F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens")
     )
     return toks.join(covered, "id", "left").select(
@@ -501,19 +529,15 @@ def trim_verbatim_runs(
     ``id_a > id_b`` matches, intervals unioned per doc, then ONE
     map-side higher-order filter drops covered token positions -- the
     per-doc interval list joins back as an array (bounded by run count,
-    which the gram cap bounds), text shuffles only on that final join."""
-    from pyspark.sql.window import Window
-
-    from mariadb_to_graylog_spark.operators.decontam import word_ngram_pos_hashes
+    which the gram cap bounds), text shuffles only on that final join.
+    DESTRUCTIVE, so grams carry their FULL 128-bit md5 like
+    ``verbatim_coverage``: an unverified 32-bit collision here would not
+    flag a spurious pair, it would silently DELETE n real tokens."""
     from mariadb_to_graylog_spark.operators.textstats import normalize_text
 
-    pg = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngram_pos_hashes(F.col(text_col), n)).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    if max_bucket_size is not None:
-        sizes = pg.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
-        pg = pg.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop("_bn")
+    pg = _positioned_grams(
+        df, id_col, text_col, n, max_bucket_size, hasher=F.md5, hash_type="string"
+    )
     a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
     matched = (
@@ -531,18 +555,8 @@ def trim_verbatim_runs(
         F.col("run_start").alias("s"),
         (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
     )
-    w = Window.partitionBy("id").orderBy("s", "e")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     merged = (
-        runs.withColumn(
-            "_new",
-            F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
-        )
-        .withColumn(
-            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy("id", "_grp")
-        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        _merged_intervals(runs)
         .groupBy("id")
         .agg(
             F.sort_array(
