@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "paragraph_dedup",
     "paragraph_near_stats",
     "decontaminate_extents",
+    "token_rarity",
     "url_extract",
     "source_reputation",
     "dedup_lsh_estimate",

@@ -1612,6 +1612,70 @@ GROUP BY lang
 """
 
 
+_MIX_QUOTAS = {"en": 50, "de": 25, "fr": 25, "zh": 10}
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count data mixing: keep exactly min(quota, stratum size)
+    docs per language by salted-hash rank ('es' unlisted -> dropped) --
+    the budget-denominated twin of the rate-based sample_stratified."""
+    d = _documents(spark, sf_dir)
+    kept = tx.stratified_quota_sample(d, _MIX_QUOTAS, salt="mix1")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+ORACLE_SAMPLE_QUOTA = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'),
+                  1, 8) AS BIGINT), doc_id) AS rk
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh'))
+WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+                      WHEN 'fr' THEN 25 WHEN 'zh' THEN 10 END
+"""
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency token profile per document: hapax (corpus freq 1)
+    and rare (freq <= 2) occurrence fractions -- the OCR-garbage /
+    gibberish signal the shape-based quality score misses."""
+    d = _documents(spark, sf_dir)
+    return tx.token_rarity(d, rare_max=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_hapax",
+        "n_rare",
+        "hapax_frac",
+        "rare_frac",
+    )
+
+
+ORACLE_TOKEN_RARITY = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+agg AS (
+  SELECT occ.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM occ JOIN freq USING (tok) GROUP BY occ.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+       round(coalesce(n_hapax, 0)::DOUBLE / greatest(coalesce(n_tokens, 0), 1), 6)
+         AS hapax_frac,
+       round(coalesce(n_rare, 0)::DOUBLE / greatest(coalesce(n_tokens, 0), 1), 6)
+         AS rare_frac
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def docs_with_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + prefix excerpts (first 120 chars) of every 7th doc --
     true partial CONTAINMENT: the excerpt shares ~all of its own sketch
@@ -2538,6 +2602,8 @@ TRAINING_QUERIES = {
     "repetition": q_repetition,
     "pii_redact": q_pii_redact,
     "sample_det": q_sample_det,
+    "sample_quota": q_sample_quota,
+    "token_rarity": q_token_rarity,
     "sample_stratified": q_sample_stratified,
     "winnow_overlap": q_winnow_overlap,
     "url_extract": q_url_extract,
@@ -2582,6 +2648,8 @@ TRAINING_ORACLES = {
     "repetition": ORACLE_REPETITION,
     "pii_redact": ORACLE_PII_REDACT,
     "sample_det": ORACLE_SAMPLE_DET,
+    "sample_quota": ORACLE_SAMPLE_QUOTA,
+    "token_rarity": ORACLE_TOKEN_RARITY,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "url_extract": ORACLE_URL_EXTRACT,

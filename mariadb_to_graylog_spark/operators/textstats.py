@@ -279,6 +279,104 @@ def stratified_sample_filter(
     return h32(F.concat(key.cast("string"), F.lit(salt))) % 100 < rate
 
 
+def token_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_hapax, n_rare, hapax_frac, rare_frac) --
+    corpus-frequency profile of each document's tokens: ``n_hapax``
+    counts occurrences of tokens appearing EXACTLY ONCE in the whole
+    corpus, ``n_rare`` occurrences of tokens appearing <= ``rare_max``
+    times.  A high hapax fraction is the classic OCR-garbage /
+    gibberish / mojibake signal (quality_score's length/punct heuristics
+    miss it because garbage can be well-shaped); a LOW one on a large
+    corpus flags template text.  Fractions are exact integer sums with
+    one rounded division (fp-order-stable).
+
+    Shape: token OCCURRENCES (doc_id, token) shuffle once into the
+    corpus-frequency aggregate (map-side partial counts collapse
+    repeated tokens before the wire), the frequency table joins back on
+    the token key -- Catalyst broadcasts a small vocabulary and
+    shuffle-joins an unbounded one -- and the per-doc reduction is a
+    standard two-phase aggregate.  Tokenless documents report zeros."""
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    )
+    freq = (
+        occ.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    hapax = (F.col("_cnt") == 1).cast("long")
+    rare = (F.col("_cnt") <= rare_max).cast("long")
+    joined = occ.join(freq, "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.coalesce(F.sum(hapax), F.lit(0)).alias("n_hapax"),
+            F.coalesce(F.sum(rare), F.lit(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hapax",
+            "n_rare",
+            F.round(
+                F.col("n_hapax") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("hapax_frac"),
+            F.round(
+                F.col("n_rare") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("rare_frac"),
+        )
+    )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-count data mixing: keep exactly min(quota, stratum size)
+    rows per stratum, chosen by salted-hash rank -- the operator behind
+    "train on 2M en, 500k de, 500k fr".  ``stratified_sample_filter`` is
+    the RATE twin; rates cannot hit an exact document/token budget, and
+    budgets are what mixture specs are written in.  Selection is
+    deterministic across runs, partitionings and engines (md5-hash
+    order, id tie-break), stable under corpus GROWTH in the sense that a
+    doc can only leave the sample when a lower-hash doc displaces it,
+    and composable (different salts draw independent samples).  Unlisted
+    strata are dropped.
+
+    Shape: one rank window per stratum.  The window sorts each listed
+    stratum; at corpus scale pre-shrink the input with the hash-mod
+    rate filter (keep ~1.5x quota/size) and exact-rank the survivors --
+    the top-k by hash among survivors equals the global top-k whenever
+    >= k survive, so the pre-filter is a pure optimization with a
+    Chernoff-bounded failure probability the caller sizes."""
+    from pyspark.sql.window import Window
+
+    from mariadb_to_graylog_spark.operators.dedup import h32
+
+    quota = F.lit(0)
+    for k, v in quotas.items():
+        quota = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(quota)
+    rk = h32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_quota", quota)
+        .filter(F.col("_quota") > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_quota", "_rk")
+    )
+
+
 def word_bigrams(c: Column) -> Column:
     """Adjacent token pairs ('a b'), the unit of repetition detection."""
     toks = tokens(c)

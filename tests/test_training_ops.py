@@ -1213,6 +1213,61 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
+def test_token_rarity_hapax_signal(spark):
+    """Gibberish (corpus-unique tokens) scores hapax_frac 1.0; text whose
+    every token recurs elsewhere scores 0.0; rare_max widens the band;
+    tokenless docs report zeros, not NULLs."""
+    from mariadb_to_graylog_spark.operators.textstats import token_rarity
+
+    d = spark.createDataFrame(
+        [
+            (1, "qzxv bnmp wrtk jhgf"),            # 4 corpus-unique tokens
+            (2, "common words appear here twice"),
+            (3, "common words appear here twice"),  # mirrors doc 2
+            (4, "common mixed qqq"),               # 2 recurring + 1 hapax
+            (5, "!!! ..."),                         # no [a-z0-9] tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hapax, r.n_rare, r.hapax_frac)
+        for r in token_rarity(d, rare_max=2).collect()
+    }
+    assert got[1] == (4, 4, 4, 1.0)
+    assert got[2][:2] == (5, 0) and got[2][3] == 0.0
+    # doc 4: 'common' appears 3x in corpus (docs 2,3,4) -> not rare at 2;
+    # 'mixed'/'qqq' are hapax
+    assert got[4] == (3, 2, 2, round(2 / 3, 6))
+    assert got[5] == (0, 0, 0, 0.0)
+
+
+def test_stratified_quota_sample_exact_counts(spark):
+    """Exactly min(quota, stratum size) rows per listed stratum, unlisted
+    strata dropped, selection deterministic across runs, different salts
+    draw different samples."""
+    from mariadb_to_graylog_spark.operators.textstats import (
+        stratified_quota_sample,
+    )
+
+    rows = [(i, "en" if i < 40 else ("de" if i < 52 else "xx"), f"t{i}")
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    quotas = {"en": 10, "de": 100}  # de quota exceeds its 12-doc stratum
+
+    k1 = stratified_quota_sample(d, quotas, salt="a").collect()
+    by_lang = {}
+    for r in k1:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 10
+    assert sorted(by_lang["de"]) == list(range(40, 52))  # whole stratum
+    assert "xx" not in by_lang
+
+    k2 = stratified_quota_sample(d, quotas, salt="a").collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))  # deterministic
+    k3 = {r.doc_id for r in stratified_quota_sample(d, quotas, salt="b").collect()}
+    assert k3 != {r.doc_id for r in k1}  # salt changes the draw
+
+
 def test_verbatim_coverage_interval_union(spark):
     """Coverage = union of shared-run intervals per doc: a doc sharing
     overlapping runs with TWO different partners counts the overlap once;
