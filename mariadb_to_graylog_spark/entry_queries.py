@@ -1779,7 +1779,8 @@ _SQL_URL_DOCS = """
   SELECT doc_id,
          text || ' Read https://' || source || '.example.com/d/' || doc_id ||
          ' mirror http://cdn.' || source || '.example.com:8080/d/' || doc_id ||
-         ' img https://img-' || lang || '.example.org/x.png' AS text
+         ' img https://img-' || lang || '.example.org/x.png' AS text,
+         lang
   FROM documents
 """
 
@@ -1854,6 +1855,41 @@ SELECT CAST(per.doc_id AS BIGINT) AS doc_id, per.domain,
        round(CAST(sc AS DOUBLE)/n, 6) AS dom_mean_chars,
        round(CAST(ss AS DOUBLE)/greatest(st, 1), 6) AS dom_stop_ratio
 FROM per JOIN dom USING (domain)
+"""
+
+
+def q_domain_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cited-domain language distribution: counts, shares, and the
+    deterministic plurality flag -- the routing table that sends a
+    domain's crawl to the right language pipeline."""
+    d = docs_with_urls(spark, sf_dir)
+    return tx.domain_language_mix(d).select(
+        "domain", "lang", "n_docs", "lang_share", "is_dominant"
+    )
+
+
+ORACLE_DOMAIN_LANG_MIX = f"""
+WITH d AS ({_SQL_URL_DOCS}),
+per AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '(https?://[A-Za-z0-9](?:[A-Za-z0-9.\\-]*[A-Za-z0-9])?(?::\\d+)?(?:/[^\\s]*)?)', 1),
+           x -> array_to_string(list_slice(str_split({_SQL_HOST}, '.'),
+                  greatest(len(str_split({_SQL_HOST}, '.')) - 1, 1),
+                  99), '.')))) AS domain
+  FROM d
+),
+c AS (SELECT domain, lang, count(*) AS n_docs FROM per GROUP BY domain, lang),
+w AS (
+  SELECT domain, lang, n_docs,
+         sum(n_docs) OVER (PARTITION BY domain) AS tot,
+         min({{'negn': -n_docs, 'l': lang}}) OVER (PARTITION BY domain) AS top
+  FROM c
+)
+SELECT domain, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs::DOUBLE / tot, 6) AS lang_share,
+       (-n_docs = top.negn AND lang = top.l) AS is_dominant
+FROM w
 """
 
 
@@ -2609,6 +2645,7 @@ TRAINING_QUERIES = {
     "url_extract": q_url_extract,
     "source_reputation": q_source_reputation,
     "domain_reputation": q_domain_reputation,
+    "domain_lang_mix": q_domain_lang_mix,
     "substring_pairs": q_substring_pairs,
     "substring_run_extents": q_substring_run_extents,
     "verbatim_coverage": q_verbatim_coverage,
@@ -2655,6 +2692,7 @@ TRAINING_ORACLES = {
     "url_extract": ORACLE_URL_EXTRACT,
     "source_reputation": ORACLE_SOURCE_REPUTATION,
     "domain_reputation": ORACLE_DOMAIN_REPUTATION,
+    "domain_lang_mix": ORACLE_DOMAIN_LANG_MIX,
     "substring_pairs": ORACLE_SUBSTRING_PAIRS,
     "substring_run_extents": ORACLE_SUBSTRING_RUN_EXTENTS,
     "verbatim_coverage": ORACLE_VERBATIM_COVERAGE,

@@ -377,6 +377,57 @@ def stratified_quota_sample(
     )
 
 
+def domain_language_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(domain, lang, n_docs, lang_share, is_dominant) -- the language
+    distribution of each CITED registrable domain: the routing table a
+    web-curation pipeline uses to send a domain's crawl to the right
+    language pipeline (and to flag domains whose mix is too diffuse to
+    route).  ``lang_share`` = n_docs / domain total (exact integer sums,
+    one rounded division); ``is_dominant`` marks the plurality language,
+    ties broken lexicographically so the flag is deterministic.
+
+    Shape: one URL-extraction pass map-side, distinct domains per doc
+    explode (a doc citing a domain once or thrice counts once), ONE
+    exchange on (domain, lang) for the count, and the per-domain total /
+    dominant flag ride a window over the already-partitioned domain key
+    -- same single-scan discipline as ``domain_reputation``."""
+    from pyspark.sql.window import Window
+
+    per = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    extract_urls(F.col(text_col)),
+                    lambda u: registrable_domain(url_host(u)),
+                )
+            )
+        ).alias("domain"),
+    )
+    counts = per.groupBy("domain", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("domain")
+    total = F.sum("n_docs").over(w)
+    # plurality = min (-n_docs, lang) struct: largest count first, ties
+    # resolve to the lexicographically smallest lang -- deterministic
+    me = F.struct((-F.col("n_docs")).alias("negn"), F.col("lang").alias("l"))
+    top = F.min(me).over(w)
+    return counts.select(
+        "domain",
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("lang_share"),
+        (me == top).alias("is_dominant"),
+    )
+
+
 def word_bigrams(c: Column) -> Column:
     """Adjacent token pairs ('a b'), the unit of repetition detection."""
     toks = tokens(c)

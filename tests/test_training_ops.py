@@ -1213,6 +1213,33 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
+def test_domain_language_mix_routing_table(spark):
+    """Per-domain language shares sum to 1, the plurality language gets
+    the dominant flag, and EXACT ties resolve to the lexicographically
+    smallest lang -- deterministic routing, no arbitrary winner."""
+    from mariadb_to_graylog_spark.operators.textstats import domain_language_mix
+
+    rows = [
+        (1, "en", "see https://news.alpha.io/a"),
+        (2, "en", "see https://alpha.io/b"),        # same registrable domain
+        (3, "fr", "voir https://alpha.io/c"),
+        (4, "de", "nur https://beta.example/x"),    # beta: exact de/fr tie
+        (5, "fr", "voir https://beta.example/y"),
+        (6, "en", "no urls cited here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.domain, r.lang): (r.n_docs, r.lang_share, r.is_dominant)
+        for r in domain_language_mix(d).collect()
+    }
+    assert got[("alpha.io", "en")] == (2, round(2 / 3, 6), True)
+    assert got[("alpha.io", "fr")] == (1, round(1 / 3, 6), False)
+    # tie on beta.example: 'de' < 'fr' lexicographically -> de dominant
+    assert got[("beta.example", "de")] == (1, 0.5, True)
+    assert got[("beta.example", "fr")] == (1, 0.5, False)
+    assert not any(dom not in ("alpha.io", "beta.example") for dom, _ in got)
+
+
 def test_token_rarity_hapax_signal(spark):
     """Gibberish (corpus-unique tokens) scores hapax_frac 1.0; text whose
     every token recurs elsewhere scores 0.0; rare_max widens the band;
