@@ -1400,6 +1400,61 @@ FROM s
 """
 
 
+def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-picking table: fixed-width quality buckets (floor(q*10),
+    top-clamped) x verbatim-duplication rate over the exact-dup corpus.
+    Equal-WIDTH buckets, not deciles, on purpose: a global ntile needs a
+    single-partition sort (a scale killer) while floor(q*10) is map-side;
+    the table answers the same question ('does low quality co-occur with
+    duplication, and where would a cutoff land').  Exact integer sums,
+    single rounded division."""
+    d = docs_with_exact_dups(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        F.least(
+            F.floor(tx.quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.md5("text").alias("h"),
+    )
+    freq = s.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    dup = (F.col("_n") >= 2).cast("long")
+    return (
+        s.join(freq, "h")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            F.round(
+                F.sum(dup) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+ORACLE_QUALITY_DUP_CALIBRATION = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+s AS (
+  SELECT doc_id,
+         least(CAST(floor(
+           round(least(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + (CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS DOUBLE)
+                    / greatest(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE), 1.0)) * 0.3
+                 + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE)
+                    / greatest(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE), 1.0), 1.0)) * 0.2,
+                 6) * 10) AS INT), 9) AS bucket,
+         md5(text) AS h
+  FROM d
+),
+f AS (SELECT h, count(*) AS n FROM s GROUP BY h)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_rate
+FROM s JOIN f USING (h)
+GROUP BY bucket
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
     toks = tx.tokens(F.col("text"))
@@ -2632,6 +2687,7 @@ TRAINING_QUERIES = {
     "embed_neardup": q_embed_neardup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "quality_dup_calibration": q_quality_dup_calibration,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2679,6 +2735,7 @@ TRAINING_ORACLES = {
     "embed_neardup": ORACLE_EMBED_NEARDUP,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_dup_calibration": ORACLE_QUALITY_DUP_CALIBRATION,
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
