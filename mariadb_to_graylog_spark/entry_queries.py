@@ -1400,6 +1400,61 @@ FROM s
 """
 
 
+def docs_with_mirrored_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every 7th doc republished under a 'mirror-site'
+    source -- the cross-source verbatim copying a source-overlap matrix
+    exists to expose (the exact-dup corpus keeps copies in the SAME
+    source, which this measure must NOT count)."""
+    d = _documents(spark, sf_dir)
+    mirr = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror-site").alias("source"),
+        "n_chars",
+    )
+    return d.unionByName(mirr)
+
+
+_SQL_MIRROR_DOCS = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, 'mirror-site' FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source copying matrix: distinct 15-gram hashes shared per
+    source pair.  The planted mirror pairs dominate the matrix (hundreds
+    of shared grams each); a small organic tail exists because the
+    synthetic generator's template occasionally repeats 15-token runs
+    across sources -- exactly the background level the matrix exists to
+    separate copying from."""
+    d = docs_with_mirrored_sources(spark, sf_dir)
+    return dd.source_ngram_overlap(d, n=15)
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH d AS ({_SQL_MIRROR_DOCS}),
+s AS (
+  SELECT source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+g AS (
+  SELECT DISTINCT source AS src, unnest(list_distinct(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 14, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 14),
+           ' ')), 1, 8) AS BIGINT)))) AS h
+  FROM s
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+GROUP BY a.src, b.src
+"""
+
+
 def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-picking table: fixed-width quality buckets (floor(q*10),
     top-clamped) x verbatim-duplication rate over the exact-dup corpus.
@@ -2688,6 +2743,7 @@ TRAINING_QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "quality_dup_calibration": q_quality_dup_calibration,
+    "source_overlap": q_source_overlap,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2736,6 +2792,7 @@ TRAINING_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_dup_calibration": ORACLE_QUALITY_DUP_CALIBRATION,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

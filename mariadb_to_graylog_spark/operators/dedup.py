@@ -257,6 +257,50 @@ def shared_ngram_pairs(
     )
 
 
+def source_ngram_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 15,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(source_a, source_b, n_shared_grams): how many distinct ``n``-token
+    gram hashes each PAIR of ingest sources shares -- the corpus-health
+    matrix that shows which sources mirror/scrape each other (a high cell
+    means cross-source verbatim copying that per-document dedup will pay
+    for, and that source-level weighting should know about).
+
+    ``shared_ngram_pairs`` generalized from documents to sources: grams
+    collapse to DISTINCT (source, hash) pairs map-side-partially before
+    the self-join, so the join input is bounded by sources x distinct
+    grams, and the output by sources^2 -- tiny, since ingest sources are
+    few by construction (unlike domains).  ``max_bucket_size`` caps the
+    number of SOURCES sharing a gram (a gram in every source is
+    ecosystem boilerplate, not a pairwise copying signal)."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+        )
+        .distinct()
+    )
+    if max_bucket_size is not None:
+        sizes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_bn"))
+        grams = grams.join(sizes.filter(F.col("_bn") <= max_bucket_size), "h").drop(
+            "_bn"
+        )
+    a = grams.select(F.col("src").alias("source_a"), "h")
+    b = grams.select(F.col("src").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
 def ngram_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",

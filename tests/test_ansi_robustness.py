@@ -108,7 +108,7 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # units -> LSH-verified one-hop neighborhood; interval-union coverage
      "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage",
      "trim_verbatim", "token_rarity", "sample_quota", "domain_lang_mix",
-     "quality_dup_calibration"],
+     "quality_dup_calibration", "source_overlap"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Round-3/4 training operators must return IDENTICAL rows with ANSI

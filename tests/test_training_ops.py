@@ -1213,6 +1213,38 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
+def test_source_ngram_overlap_matrix(spark):
+    """Cross-source copying lights up the (a, b) cell with the copied
+    run's gram count; SAME-source duplication contributes nothing (that
+    is per-document dedup's job); the bucket cap drops ecosystem-wide
+    boilerplate grams."""
+    from mariadb_to_graylog_spark.operators.dedup import source_ngram_overlap
+
+    run = " ".join(f"w{i}" for i in range(20))  # 20 tokens -> 6 15-grams
+    boiler = " ".join(f"b{i}" for i in range(15))  # in EVERY source
+    rows = [
+        (1, "srcA", f"{run} unique tail alpha {boiler}"),
+        (2, "srcB", f"other head {run} {boiler}"),   # copies run from A
+        (3, "srcB", f"other head {run} {boiler}"),   # same-source dup
+        (4, "srcC", f"totally different content with no overlap {boiler}"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source_a, r.source_b): r.n_shared_grams
+        for r in source_ngram_overlap(d, n=15).collect()
+    }
+    # uncapped: A-B share the run's 6 grams; every pair shares the
+    # boilerplate gram
+    assert got[("srcA", "srcB")] == 7
+    assert got[("srcA", "srcC")] == 1 and got[("srcB", "srcC")] == 1
+    # cap at 2 sources: the 3-source boilerplate gram drops, copying stays
+    capped = {
+        (r.source_a, r.source_b): r.n_shared_grams
+        for r in source_ngram_overlap(d, n=15, max_bucket_size=2).collect()
+    }
+    assert capped == {("srcA", "srcB"): 6}
+
+
 def test_domain_language_mix_routing_table(spark):
     """Per-domain language shares sum to 1, the plurality language gets
     the dominant flag, and EXACT ties resolve to the lexicographically
