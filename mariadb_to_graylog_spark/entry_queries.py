@@ -1384,18 +1384,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY_SCORE = f"""
-WITH s AS (
-  SELECT doc_id,
+# the one SQL mirror of textstats.quality_score -- every oracle that
+# needs the score builds on this fragment so the weights cannot drift
+_SQL_QUALITY_EXPR = (
+    "round(least(n_tok / 100.0, 1.0) * 0.5"
+    " + (n_stop / greatest(n_tok, 1.0)) * 0.3"
+    " + (1.0 - least(n_punct / greatest(n_tok, 1.0), 1.0)) * 0.2, 6)"
+)
+
+_SQL_QUALITY_INPUTS = f"""
          CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) AS n_tok,
          CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS DOUBLE) AS n_stop,
          CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE) AS n_punct
+"""
+
+ORACLE_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+{_SQL_QUALITY_INPUTS}
   FROM documents
 )
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-       round(least(n_tok / 100.0, 1.0) * 0.5
-             + (n_stop / greatest(n_tok, 1.0)) * 0.3
-             + (1.0 - least(n_punct / greatest(n_tok, 1.0), 1.0)) * 0.2, 6) AS quality
+       {_SQL_QUALITY_EXPR} AS quality
 FROM s
 """
 
@@ -1479,26 +1489,27 @@ def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(dup).alias("n_dup_docs"),
-            F.round(
-                F.sum(dup) / F.count(F.lit(1)), 6
-            ).alias("dup_rate"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
         )
     )
 
 
 ORACLE_QUALITY_DUP_CALIBRATION = f"""
 WITH d AS ({_SQL_EXACT_DUPS}),
-s AS (
-  SELECT doc_id,
-         least(CAST(floor(
-           round(least(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) / 100.0, 1.0) * 0.5
-                 + (CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS DOUBLE)
-                    / greatest(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE), 1.0)) * 0.3
-                 + (1.0 - least(CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE)
-                    / greatest(CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE), 1.0), 1.0)) * 0.2,
-                 6) * 10) AS INT), 9) AS bucket,
-         md5(text) AS h
+q AS (
+  SELECT doc_id, md5(text) AS h,
+{_SQL_QUALITY_INPUTS}
   FROM d
+),
+s AS (
+  SELECT doc_id, h,
+         least(CAST(floor({_SQL_QUALITY_EXPR} * 10) AS INT), 9) AS bucket
+  FROM q
 ),
 f AS (SELECT h, count(*) AS n FROM s GROUP BY h)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,

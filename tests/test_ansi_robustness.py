@@ -111,8 +111,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "quality_dup_calibration", "source_overlap"],
 )
 def test_training_queries_ansi_parity(spark, qname):
-    """Round-3/4 training operators must return IDENTICAL rows with ANSI
-    on and off (slice/element_at/cast edges are where ANSI bites)."""
+    """Training operators (the parametrize list above tracks every round's
+    additions) must return IDENTICAL rows with ANSI on and off
+    (slice/element_at/cast edges are where ANSI bites)."""
     import mariadb_to_graylog_spark.entry_queries as eq
 
     sf = "/root/testdata/sf0.001"
