@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "paragraph_near_stats",
     "decontaminate_extents",
     "token_rarity",
+    "cdc_chunk_stats",
     "url_extract",
     "source_reputation",
     "dedup_lsh_estimate",

@@ -1465,6 +1465,108 @@ GROUP BY a.src, b.src
 """
 
 
+def docs_with_shifted_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every 6th doc republished with an injected preamble:
+    every byte offset in the copy shifts, so fixed-width blocks and
+    whole-doc hashing both miss the duplication -- the case
+    content-defined chunking exists for."""
+    d = _documents(spark, sf_dir)
+    cp = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("Editor's note: this article is republished from our "
+                  "archive with permission. "),
+            F.col("text"),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(cp)
+
+
+_SQL_SHIFTED_DOCS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         'Editor''s note: this article is republished from our archive ' ||
+         'with permission. ' || text
+  FROM documents WHERE doc_id % 6 = 0
+"""
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup over the shifted-copy corpus: the
+    injected preamble shifts every byte of the copy, yet interior chunk
+    boundaries re-align and the shared chunks light up."""
+    d = docs_with_shifted_copies(spark, sf_dir)
+    return dd.cdc_chunk_stats(d, window=8, boundary_mod=64).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_chunks",
+        "n_dup_chunks",
+        "dup_chunk_ratio",
+        "dup_char_frac",
+    )
+
+
+ORACLE_CDC_CHUNK_STATS = f"""
+WITH d AS ({_SQL_SHIFTED_DOCS}),
+s0 AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+s AS (SELECT * FROM s0 WHERE length(s) > 0),
+rh AS (
+  SELECT doc_id, s, list_transform(
+    range(1, greatest(length(s) - 7, 1) + 1),
+    i -> list_reduce(
+           list_prepend(0, list_transform(
+                          range(1, length(substr(s, CAST(i AS INT), 8)) + 1),
+                          j -> CAST(ascii(substr(substr(s, CAST(i AS INT), 8),
+                                                 CAST(j AS INT), 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000003)
+  ) AS hs
+  FROM s
+),
+cut AS (
+  SELECT doc_id, s,
+         list_prepend(CAST(1 AS BIGINT), list_transform(
+           list_transform(
+             list_filter(range(1, len(hs) + 1),
+                         i -> hs[CAST(i AS INT)] % 64 = 0),
+             i -> i + 7),
+           p -> p + 1)) AS starts,
+         list_append(list_transform(
+           list_filter(range(1, len(hs) + 1),
+                       i -> hs[CAST(i AS INT)] % 64 = 0),
+           i -> i + 7), CAST(length(s) AS BIGINT)) AS ends
+  FROM rh
+),
+ch AS (
+  SELECT doc_id, md5(c) AS h, length(c) AS n_chars FROM (
+    SELECT doc_id, unnest(list_filter(
+      list_transform(range(1, len(starts) + 1),
+        k -> substr(s, CAST(starts[CAST(k AS INT)] AS INT),
+                    CAST(greatest(ends[CAST(k AS INT)]
+                                  - starts[CAST(k AS INT)] + 1, 0) AS INT))),
+      c -> length(c) > 0)) AS c
+    FROM cut
+  )
+),
+f AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
+SELECT CAST(ch.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_chunk_ratio,
+       round(sum(CASE WHEN n_docs >= 2 THEN n_chars ELSE 0 END)::DOUBLE
+             / sum(n_chars), 6) AS dup_char_frac
+FROM ch JOIN f USING (h)
+GROUP BY ch.doc_id
+"""
+
+
 def q_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-picking table: fixed-width quality buckets (floor(q*10),
     top-clamped) x verbatim-duplication rate over the exact-dup corpus.
@@ -2755,6 +2857,7 @@ TRAINING_QUERIES = {
     "quality_score": q_quality_score,
     "quality_dup_calibration": q_quality_dup_calibration,
     "source_overlap": q_source_overlap,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2804,6 +2907,7 @@ TRAINING_ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_dup_calibration": ORACLE_QUALITY_DUP_CALIBRATION,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
+    "cdc_chunk_stats": ORACLE_CDC_CHUNK_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

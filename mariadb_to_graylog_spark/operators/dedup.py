@@ -257,6 +257,128 @@ def shared_ngram_pairs(
     )
 
 
+def cdc_chunks(c: Column, window: int = 8, boundary_mod: int = 64) -> Column:
+    """Content-defined chunking: split the normalized text at positions
+    where the ``window``-char Rabin-Karp rolling hash is divisible by
+    ``boundary_mod`` (expected chunk length ~= boundary_mod chars).
+    Boundaries depend only on LOCAL content, so an insertion early in a
+    page shifts every byte offset yet leaves all later chunk boundaries
+    -- and hence later chunks' hashes -- intact: the property that makes
+    chunk-level dedup robust where fixed-width blocks and
+    paragraph-splitting both fail (no blank-line structure needed).
+    Returns the array of non-empty chunk strings; empty/whitespace text
+    yields an empty array.
+
+    Same hash as ``textstats.rolling_hash_shingles`` (0-seeded fold, so
+    the DuckDB twin is bit-identical); the whole expression is nested
+    HOFs with every reused level bound once (no CSE in interpreted
+    lambdas): text -> char codes -> window hashes -> cut positions ->
+    substring chunks."""
+    from mariadb_to_graylog_spark.operators.textstats import (
+        bind_once,
+        normalize_text,
+    )
+
+    base, mod = 31, 1_000_003
+
+    def _with_s(s: Column) -> Column:
+        def _with_hs(hs: Column) -> Column:
+            cuts = F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(hs)),
+                    lambda i: F.element_at(hs, i) % boundary_mod == 0,
+                ),
+                lambda i: i + (window - 1),  # char index the window ends on
+            )
+
+            def _with_cuts(cutc: Column) -> Column:
+                starts = F.concat(
+                    F.array(F.lit(1)), F.transform(cutc, lambda p: p + 1)
+                )
+                ends = F.concat(cutc, F.array(F.length(s)))
+                return F.filter(
+                    F.zip_with(
+                        starts,
+                        ends,
+                        lambda a, b: F.substr(s, a, F.greatest(b - a + 1, F.lit(0))),
+                    ),
+                    lambda ch: F.length(ch) > 0,
+                )
+
+            return bind_once(cuts, _with_cuts)
+
+        codes = F.transform(F.split(s, ""), F.ascii)
+
+        def _hashes(cs: Column) -> Column:
+            return F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(cs) - (window - 1), F.lit(1))
+                ),
+                lambda i: F.aggregate(
+                    F.slice(cs, i, window),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: (acc * base + v) % mod,
+                ),
+            )
+
+        hs = bind_once(codes, _hashes)
+        return F.when(F.length(s) > 0, bind_once(hs, _with_hs)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(normalize_text(c), _with_s)
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    boundary_mod: int = 64,
+    min_docs: int = 2,
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Chunk-level duplication profile over content-defined chunks:
+
+    (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio, dup_char_frac)
+
+    -- ``paragraph_stats``' shape with CDC boundaries instead of blank
+    lines: catches shared passages in text with no paragraph structure
+    (minified pages, logs, OCR) and survives byte-offset shifts.  Only
+    (doc_id, md5, length) tuples shuffle -- chunk text never moves;
+    ``exact=False`` swaps the distinct-doc count for the mergeable HLL
+    sketch, same as the paragraph twin.  Docs whose normalized text is
+    empty contribute no rows."""
+    ch = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(cdc_chunks(F.col(text_col), window, boundary_mod)).alias("ch"),
+    ).select("doc_id", F.md5("ch").alias("h"), F.length("ch").alias("n_chars"))
+    agg = (
+        F.count_distinct("doc_id")
+        if exact
+        else F.approx_count_distinct("doc_id", rsd)
+    )
+    freq = ch.groupBy("h").agg(agg.cast("long").alias("n_docs"))
+    dup = F.col("n_docs") >= min_docs
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup.cast("long")).alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_chunk_ratio"),
+            F.round(
+                F.sum(F.when(dup, F.col("n_chars")).otherwise(0))
+                / F.sum("n_chars"),
+                6,
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
 def source_ngram_overlap(
     df: DataFrame,
     source_col: str = "source",

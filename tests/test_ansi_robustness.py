@@ -108,7 +108,7 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # units -> LSH-verified one-hop neighborhood; interval-union coverage
      "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage",
      "trim_verbatim", "token_rarity", "sample_quota", "domain_lang_mix",
-     "quality_dup_calibration", "source_overlap"],
+     "quality_dup_calibration", "source_overlap", "cdc_chunk_stats"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

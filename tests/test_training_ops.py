@@ -1213,6 +1213,49 @@ def test_media_header_parsers_reject_malformed():
     assert parse_wav_header(b"RIFFxxxxAIFF") is None
 
 
+def test_cdc_chunks_survive_byte_shift(spark):
+    """Content-defined boundaries re-align after an injected preamble:
+    the shifted copy shares its interior chunks with the original (a
+    fixed-width blocker would share none); unrelated docs share nothing;
+    whitespace-only docs produce no chunks; chunks reassemble to the
+    normalized text exactly (no char lost at boundaries)."""
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.dedup import (
+        cdc_chunk_stats,
+        cdc_chunks,
+    )
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    body = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through fields of golden wheat toward the distant river bank "
+        "where herons wade in shallow water "
+    ) * 3
+    d = spark.createDataFrame(
+        [
+            (1, body + "unique ending one"),
+            (2, "editor note republished from archive " + body + "other end"),
+            (3, "entirely unrelated content about database query planning"),
+            (4, "   \n  "),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in cdc_chunk_stats(d).collect()}
+    assert stats[1].n_dup_chunks >= 1 and stats[2].n_dup_chunks >= 1
+    assert stats[1].n_dup_chunks == stats[2].n_dup_chunks  # the shared interior
+    assert stats[3].n_dup_chunks == 0
+    assert 4 not in stats  # whitespace-only: no chunks, no row
+
+    # lossless partition: chunks concatenate back to the normalized text
+    rows = d.select(
+        F.array_join(cdc_chunks(F.col("text")), "").alias("joined"),
+        normalize_text(F.col("text")).alias("norm"),
+    ).collect()
+    for r in rows:
+        assert r.joined == r.norm
+
+
 def test_source_ngram_overlap_matrix(spark):
     """Cross-source copying lights up the (a, b) cell with the copied
     run's gram count; SAME-source duplication contributes nothing (that
