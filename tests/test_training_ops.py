@@ -1256,6 +1256,42 @@ def test_cdc_chunks_survive_byte_shift(spark):
         assert r.joined == r.norm
 
 
+def test_cdc_chunkers_hof_and_pandas_identical(spark):
+    """The Arrow/numpy chunker (the default) must produce byte-identical
+    chunk arrays to the HOF expression (the oracle reference) across
+    edge shapes: short-of-window, boundary-dense, unicode, empty."""
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.dedup import (
+        cdc_chunk_stats,
+        cdc_chunks,
+        cdc_chunks_pandas,
+    )
+
+    body = ("streaming shuffle partition windows over columnar batches "
+            "with adaptive plans rewriting joins at runtime ") * 5
+    rows = [
+        (1, body),
+        (2, "short"),
+        (3, ""),
+        (4, "   \t  "),
+        (5, "café naïve über " * 20),
+        (6, "a" * 500),  # degenerate self-similar run
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    both = d.select(
+        "doc_id",
+        cdc_chunks(F.col("text")).alias("hof"),
+        cdc_chunks_pandas()(F.col("text")).alias("pdu"),
+    ).collect()
+    for r in both:
+        assert list(r.hof) == list(r.pdu), f"doc {r.doc_id} diverged"
+
+    a = sorted(tuple(x) for x in cdc_chunk_stats(d, chunker="hof").collect())
+    b = sorted(tuple(x) for x in cdc_chunk_stats(d, chunker="pandas").collect())
+    assert a == b
+
+
 def test_source_ngram_overlap_matrix(spark):
     """Cross-source copying lights up the (a, b) cell with the copied
     run's gram count; SAME-source duplication contributes nothing (that

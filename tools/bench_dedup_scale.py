@@ -161,6 +161,9 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
     def trim():
         return dd.trim_verbatim_runs(d, n=15, max_bucket_size=cap).count()
 
+    def cdc():
+        return dd.cdc_chunk_stats(d, window=8, boundary_mod=64).count()
+
     def domain_rep():
         return tx.domain_reputation(d).count()
 
@@ -172,6 +175,7 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("paragraph_dedup", paragraph_dedup),
         ("paragraph_near_stats", paragraph_near),
         ("decontaminate_extents", decontam_extents),
+        ("cdc_chunk_stats", cdc),
         ("domain_reputation", domain_rep),
     ]:
         fn()  # full-plan warmup
@@ -448,6 +452,7 @@ def main() -> int:
         ("paragraph_dedup", "n_docs"),
         ("paragraph_near_stats", "n_docs"),
         ("decontaminate_extents", "n_docs"),
+        ("cdc_chunk_stats", "n_docs"),
         ("domain_reputation", "n_docs"),
         ("embed_neardup_lsh", "n_vecs"),
         ("knn_bruteforce", "n_vecs"),
