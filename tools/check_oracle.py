@@ -112,6 +112,15 @@ def main() -> int:
         print(f"PASS {name} ({len(spark_vals)} rows)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        # stdout is routinely tail'ed in automation; persist the FAIL
+        # names so a transient failure is never lost to a pipe filter
+        log = Path("/tmp/check_oracle_failures.log")
+        import datetime as _dt
+
+        with log.open("a") as fh:
+            fh.write(f"{_dt.datetime.now().isoformat()} {failures}\n")
+        print(f"failures recorded in {log}", file=sys.stderr)
     return 1 if failures else 0
 
 
