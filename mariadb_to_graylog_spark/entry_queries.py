@@ -2938,5 +2938,54 @@ TRAINING_ORACLES = {
     "frame_sample": ORACLE_FRAME_SAMPLE,
 }
 
-ALL_QUERIES = {**LOG_QUERIES, **TRAINING_QUERIES}
+# --------------------------------------------------------------------------
+# Driver-correctness window rotation.
+#
+# The round driver records oracle rows for only the FIRST 50 entries of
+# ``queries()`` (CORRECTNESS_r05 capped at 50/60), so insertion order decides
+# which queries get an independent driver-oracle row each round.  Per the
+# round-5 verdict, order the least-driver-validated queries first:
+#   tier 1 - brand-new this round (never seen by any driver),
+#   tier 2 - never had a driver row in any round,
+#   tier 3 - exactly one driver row so far (r4 or r5 additions),
+#   remainder - multi-round-green veterans, rotated to the tail.
+# Every name listed here must exist in the merged dict; the assertion below
+# guards against typos when queries are added or renamed.
+_DRIVER_PRIORITY = [
+    # tier 1: new in round 6 (names are appended here as the queries land)
+    # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
+    "decontaminate_extents",
+    "paragraph_near_stats",
+    # tier 3: single driver row (r4-only or r5-only)
+    "paragraph_stats",
+    "paragraph_dedup",
+    "decontaminate",
+    "decontaminate_bucketed",
+    "curation_pipeline",
+    "token_percentiles",
+    "multimodal_meta",
+    "frame_sample",
+    "quality_dup_calibration",
+    "cdc_chunk_stats",
+    "token_rarity",
+    "verbatim_coverage",
+    "trim_verbatim",
+    "source_overlap",
+    "substring_run_extents",
+    "sample_stratified",
+    "domain_lang_mix",
+    "domain_reputation",
+]
+
+
+def _rotate_for_driver(queries: dict, priority: list) -> dict:
+    missing = [n for n in priority if n not in queries]
+    assert not missing, f"_DRIVER_PRIORITY names not in ALL_QUERIES: {missing}"
+    head = {n: queries[n] for n in priority}
+    tail = {n: fn for n, fn in queries.items() if n not in head}
+    return {**head, **tail}
+
+
+_MERGED_QUERIES = {**LOG_QUERIES, **TRAINING_QUERIES}
+ALL_QUERIES = _rotate_for_driver(_MERGED_QUERIES, _DRIVER_PRIORITY)
 ALL_ORACLES = {**LOG_ORACLES, **TRAINING_ORACLES}
