@@ -184,12 +184,31 @@ def contamination_flag_udf(
         )
     ws = re.compile(r"\s+", re.ASCII)
     if eval_broadcast is not None:
+        # the broadcast value is tagged (n, hash_set) so a handle built for
+        # a different gram width cannot be reused silently: hashes of
+        # different-n grams never collide, so an n mismatch would probe an
+        # incompatible set and flag NOTHING.  .value here is driver-side on
+        # the handle's home process -- no executor fetch.
+        tagged = eval_broadcast.value
+        if not (isinstance(tagged, tuple) and len(tagged) == 2):
+            raise ValueError(
+                "eval_broadcast must be a handle returned as "
+                "udf.eval_broadcast by a previous contamination_flag_udf "
+                "(its value is tagged (n, hash_set)); got an untagged "
+                f"{type(tagged).__name__}"
+            )
+        if tagged[0] != n:
+            raise ValueError(
+                f"eval_broadcast was built for n={tagged[0]} but this udf "
+                f"was asked for n={n}; grams of different widths never "
+                f"hash-match, so reusing it would silently flag nothing"
+            )
         bc = eval_broadcast
         hs_local = None
     else:
         spark = SparkSession.getActiveSession()
         if spark is not None:
-            bc = spark.sparkContext.broadcast(frozenset(eval_hashes))
+            bc = spark.sparkContext.broadcast((n, frozenset(eval_hashes)))
             hs_local = None
         else:
             bc = None
@@ -206,7 +225,7 @@ def contamination_flag_udf(
 
     @pandas_udf("boolean")
     def udf(texts: pd.Series) -> pd.Series:
-        hs = bc.value if bc is not None else hs_local
+        hs = bc.value[1] if bc is not None else hs_local
         return texts.map(lambda t: _flag(t, hs))
 
     # expose the broadcast for caller-side cleanup: broadcasts live for

@@ -134,6 +134,7 @@ def near_paragraph_frequency(
     exact: bool = True,
     rsd: float = 0.02,
     persist_units: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """(h, n_near_docs) -- for each distinct paragraph (md5 key), the
     number of DISTINCT documents containing it *or a near-duplicate of
@@ -168,10 +169,21 @@ def near_paragraph_frequency(
     # grows.  When enabled, note Dataset caches are NOT auto-released on
     # GC (CacheManager holds them until unpersist or session stop): the
     # handle is exposed as ``result.units_cache`` and long-lived drivers
-    # must ``result.units_cache.unpersist()`` when done.
+    # must ``result.units_cache.unpersist()`` when done.  The attribute
+    # lives only on the DIRECTLY returned object -- chaining any
+    # transformation returns a fresh DataFrame without it -- so callers
+    # that transform the result should pass ``cache_out=[]`` and
+    # unpersist the handle appended there instead.
     units = paras.groupBy("h").agg(F.min("para").alias("para"))
     if persist_units:
         units = units.persist()
+        if cache_out is not None:
+            # the explicit, chain-safe way to receive the unpersist handle:
+            # the ``units_cache`` attribute below survives ONLY on the
+            # directly returned DataFrame (any .filter/.select/.cache
+            # yields a new object without it), so callers that transform
+            # the result should pass a list here and unpersist its entries
+            cache_out.append(units)
     pairs = lsh_jaccard_verified(
         units,
         id_col="h",
@@ -218,6 +230,7 @@ def paragraph_near_stats(
     exact: bool = True,
     rsd: float = 0.02,
     persist_units: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """``paragraph_stats`` for TEMPLATED boilerplate -- the per-page
     variation md5 cannot see ('Subscribe to the {lang} newsletter'):
@@ -248,6 +261,7 @@ def paragraph_near_stats(
         exact=exact,
         rsd=rsd,
         persist_units=persist_units,
+        cache_out=cache_out,
     )
     dup = F.col("n_near_docs") >= min_docs
     out = (
@@ -285,6 +299,7 @@ def drop_near_duplicate_paragraphs(
     exact: bool = True,
     rsd: float = 0.02,
     persist_units: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """``drop_duplicate_paragraphs`` under the NEAR-duplicate
     classification of ``paragraph_near_stats``: (doc_id, clean_text,
@@ -305,6 +320,7 @@ def drop_near_duplicate_paragraphs(
         exact=exact,
         rsd=rsd,
         persist_units=persist_units,
+        cache_out=cache_out,
     )
     flagged = freq.filter(F.col("n_near_docs") >= min_docs).select(
         "h", F.lit(1).alias("_dup")

@@ -981,6 +981,21 @@ def test_paragraph_near_ops_expose_units_cache(spark):
         plain = fn(d)
         assert plain.units_cache is None
         assert sorted(tuple(r) for r in plain.collect()) == rows
+        # chain-safe handle: the units_cache ATTRIBUTE dies on the first
+        # chained transformation, so cache_out=[] receives the handle
+        # explicitly and it survives arbitrary chaining of the result
+        handles = []
+        out2 = fn(d, persist_units=True, cache_out=handles)
+        chained = out2.filter(F.lit(True))
+        assert not hasattr(chained, "units_cache")  # the attribute is gone
+        assert len(handles) == 1 and handles[0].storageLevel.useMemory
+        chained.collect()
+        handles[0].unpersist()
+        assert not handles[0].storageLevel.useMemory
+        # default off: nothing appended
+        empty = []
+        fn(d, cache_out=empty).collect()
+        assert empty == []
 
 
 def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
@@ -1023,6 +1038,17 @@ def test_contamination_flag_udf_reuses_supplied_broadcast(spark):
         for r in docs.select("doc_id", udf2(F.col("text")).alias("flag")).collect()
     }
     assert got == {1: True, 2: False}
+
+    # the broadcast value is tagged with its gram width: reusing it with a
+    # different n would probe an incompatible hash set and flag nothing,
+    # so it raises instead of silently passing every contaminated doc
+    with pytest.raises(ValueError, match="built for n=13.*n=7"):
+        contamination_flag_udf(n=7, eval_broadcast=udf1.eval_broadcast)
+    # an untagged broadcast (not produced by a flag udf) is rejected too
+    raw_bc = spark.sparkContext.broadcast(frozenset({1, 2, 3}))
+    with pytest.raises(ValueError, match="tagged"):
+        contamination_flag_udf(n=13, eval_broadcast=raw_bc)
+    raw_bc.unpersist()
     udf1.eval_broadcast.unpersist()
 
 
