@@ -2255,8 +2255,18 @@ def _verbatim_merged_ctes(pred: str) -> str:
     corpus: normalized tokens -> positioned FULL-md5 grams (the
     coverage/trim ops use 128-bit gram identity -- see
     dedup._positioned_grams) -> ``pred``-oriented matches -> dense_rank
-    islands -> per-doc MERGED intervals (CTE ``mg``: id, ms, me) -- one
-    definition so the twin oracles cannot drift."""
+    islands -> per-doc RAW run intervals (CTE ``r``: id, s_, e_, possibly
+    overlapping) -- one definition so the twin oracles cannot drift.
+
+    Deliberately ends BEFORE any interval merging: the original merge
+    used ``max(e_) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``, which DuckDB's parallel window executor INTERMITTENTLY
+    mis-evaluates (caught by tools/vc_flake_hunt.py: doc 200070 reported
+    covered 44 of 23 tokens -- every interval double-counted; in-process
+    deterministic, cross-process flaky -- the r5/r6 gate's one recurring
+    FAIL).  Both consumers are order-independent instead: coverage
+    counts DISTINCT covered positions, trim tests membership in ANY raw
+    interval -- merged and unmerged intervals are equivalent for both."""
     return f"""
 WITH d AS ({_SQL_EXCERPTS}),
 s AS (
@@ -2290,29 +2300,18 @@ r AS (
   SELECT id_a AS id, min(pos_a) AS s_,
          min(pos_a) + count(DISTINCT pos_a) + 13 AS e_
   FROM i GROUP BY id_a, id_b, diag, grp
-),
-u AS (
-  SELECT id, s_, e_,
-         CASE WHEN s_ > coalesce(max(e_) OVER (
-                PARTITION BY id ORDER BY s_, e_
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS new_
-  FROM r
-),
-uu AS (
-  SELECT id, s_, e_,
-         sum(new_) OVER (PARTITION BY id ORDER BY s_, e_
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-  FROM u
-),
-mg AS (SELECT id, grp, min(s_) AS ms, max(e_) AS me FROM uu GROUP BY id, grp)"""
+)"""
 
 
 ORACLE_VERBATIM_COVERAGE = (
     _verbatim_merged_ctes("!=")
     + """,
 tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
-cov AS (SELECT id, sum(me - ms + 1) AS covered FROM mg GROUP BY id)
+cov AS (
+  SELECT id, count(DISTINCT p) AS covered
+  FROM (SELECT id, unnest(range(s_, e_ + 1)) AS p FROM r)
+  GROUP BY id
+)
 SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
@@ -2340,7 +2339,7 @@ ORACLE_TRIM_VERBATIM = (
     _verbatim_merged_ctes(">")
     + """,
 iv AS (
-  SELECT id, list({'ms': ms, 'me': me} ORDER BY ms) AS ivs FROM mg GROUP BY id
+  SELECT id, list({'ms': s_, 'me': e_} ORDER BY s_, e_) AS ivs FROM r GROUP BY id
 ),
 j AS (
   SELECT t.doc_id, t.toks,

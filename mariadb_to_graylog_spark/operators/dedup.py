@@ -5,8 +5,11 @@ extensions a 100 TB transcript/document corpus needs.  Design rules:
 
 * all hashing is *portable* (md5-derived 32-bit values) so results are
   engine-independent and oracle-checkable;
-* signatures are computed with higher-order array functions entirely
-  map-side -- zero shuffle until the candidate-pair join;
+* signatures are codegen'd aggregates over exploded shingles (one
+  narrow exchange of id + num_hashes longs, partial-agg collapsed
+  map-side); the exchange doubles as the reuse point that keeps a
+  self-join from recomputing them per side -- see
+  ``minhash_signatures`` for the measured rationale;
 * candidate generation (LSH banding) shuffles only (band, signature,
   doc_id) tuples, never document text;
 * exact dedup is a hash groupBy (partial agg absorbs duplicates map-side).
@@ -113,9 +116,55 @@ def minhash_signatures(
     shingle_n: int = 4,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signatures, fully map-side (higher-order functions, no
-    explode/shuffle): hashes = h32 per distinct shingle, sig_j =
-    min((a_j*h + b_j) mod M31)."""
+    """MinHash signatures as codegen aggregates: explode shingle
+    positions, hash each shingle (h32), then num_hashes ``min((a_j*h +
+    b_j) mod M31)`` aggregates in ONE groupBy(id).  Identical output to
+    ``minhash_signatures_hof`` (tested): min over duplicates equals min
+    over distinct shingles, so the distinct step drops out entirely.
+
+    Why not the HOF shape: interpreted lambda passes (num_hashes per
+    unit, no codegen, no CSE) were the measured hotspot of every LSH
+    chain, and worse, a broadcast self-join RE-COMPUTES them per side
+    (broadcast builds have no exchange to reuse).  Here the whole
+    expensive lineage sits BELOW the groupBy exchange, which Spark's
+    ReuseExchange shares across self-join sides -- signatures are
+    computed once per query, not once per consumer.  The extra shuffle
+    is narrow (id + num_hashes longs per row, partial-agg collapsed
+    map-side), the same width the banding explode shuffles anyway."""
+    t = F.col(text_col)
+    # explode_outer, not explode: a NULL text yields a NULL position row
+    # (-> NULL sigs), preserving the id in the output exactly like the
+    # HOF twin; plain explode would silently drop the document
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        F.explode_outer(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (shingle_n - 1), F.lit(1)))
+        ).alias("_i"),
+    )
+    h = pos.select(
+        "id", h32(F.col("_t").substr(F.col("_i"), F.lit(shingle_n))).alias("_h")
+    )
+    aggs = [
+        F.min((F.col("_h") * a + b) % MERSENNE31).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_hof(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Reference twin of ``minhash_signatures``: fully map-side
+    (higher-order functions, no explode/shuffle): hashes = h32 per
+    distinct shingle, sig_j = min((a_j*h + b_j) mod M31).  Kept as the
+    readable oracle-shaped implementation and for contexts where an
+    aggregation is unwelcome (e.g. per-row signatures in a stream);
+    the interpreted HOF passes make it the slow path for batch LSH."""
     hashes = F.transform(char_ngrams(F.col(text_col), shingle_n), h32)
 
     # NB: plain single-parameter closures -- a lambda with default args
@@ -952,6 +1001,51 @@ def lsh_jaccard_verified(
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def crosslingual_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs ACROSS scripts and diacritics: compose
+    ``textstats.fold_confusables`` (case + diacritic + Cyrillic-confusable
+    1:1 fold) with the standard ``lsh_jaccard_verified`` chain, so
+    "café résumé" / "cafe resume" and homoglyph-substituted copies (Latin
+    "o" swapped for Cyrillic "о" -- the classic dedup-evasion edit that
+    leaves text visually identical while breaking every byte-level
+    signature) land in the same MinHash buckets and verify on the same
+    folded n-grams.
+
+    Jaccard is computed on FOLDED text: a pair's score is its similarity
+    under the canonical fold, 1.0 for pure homoglyph/diacritic variants.
+    Plain ``lsh_jaccard_verified`` scores the same pair near 0.0 (tested)
+    -- this is the dedup axis it cannot see.
+
+    Scale shape: identical to ``lsh_jaccard_verified`` (the fold is one
+    extra map-side translate per document, zero new shuffles)."""
+    from mariadb_to_graylog_spark.operators.textstats import fold_confusables
+
+    folded = df.select(
+        F.col(id_col).alias(id_col), fold_confusables(F.col(text_col)).alias(text_col)
+    )
+    return lsh_jaccard_verified(
+        folded,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        n=n,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 

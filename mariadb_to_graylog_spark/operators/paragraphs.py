@@ -138,7 +138,7 @@ def near_paragraph_frequency(
 ) -> DataFrame:
     """(h, n_near_docs) -- for each distinct paragraph (md5 key), the
     number of DISTINCT documents containing it *or a near-duplicate of
-    it*.  The near relation is ``dedup.lsh_jaccard_verified`` run at
+    it*.  The near relation is LSH-verified n-gram Jaccard run at
     PARAGRAPH granularity over the distinct-paragraph table, expanded
     ONE HOP (a paragraph's neighborhood = itself + its verified pairs).
     One hop, not transitive closure, by design: near-boilerplate is a
@@ -152,8 +152,19 @@ def near_paragraph_frequency(
     paragraph's text crosses the wire ~once per upstream partition it
     occurs in, NOT once per occurrence -- boilerplate collapses before it
     moves.  LSH banding/verification then runs on distinct paragraphs
-    (strictly fewer rows than the corpus), and the neighbor expansion
-    joins 32-byte hash pairs to (hash, doc_id) tuples -- no text."""
+    (strictly fewer rows than the corpus), and the neighbor expansion is
+    ONE join: the pair list is closed with self-loops (h, h), so own-doc
+    and neighbor-doc occurrences arrive through the same (nb -> doc_id)
+    join instead of a union of two separately-shuffled branches -- only
+    32-byte hash tuples move, never text.
+
+    Perf note (round-6 A/B at sf0.1/96 partitions, receipts in
+    BENCH/DEDUP.md): a variant that carried gram arrays through the
+    bucket shuffle to "fuse" the verify stage measured ~2x SLOWER
+    (12.6s vs 6.4s) and was dropped; the actual 10.2s -> 6.4s win came
+    from (a) this self-loop closure join and (b) the codegen minhash
+    engine in ``dedup.minhash_signatures``, whose groupBy exchange stops
+    broadcast self-joins from recomputing signatures per side."""
     from mariadb_to_graylog_spark.operators.dedup import lsh_jaccard_verified
 
     # ``persist_units`` caches the distinct-unit table, which the
@@ -195,20 +206,21 @@ def near_paragraph_frequency(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
-    edges = pairs.select(F.col("id_a").alias("h"), F.col("id_b").alias("nb")).union(
-        pairs.select(F.col("id_b").alias("h"), F.col("id_a").alias("nb"))
+    # one-hop closure WITH self-loops: (h, h) rows make the single
+    # (nb -> doc_id) join deliver own docs and neighbor docs together
+    closure = (
+        pairs.select(F.col("id_a").alias("h"), F.col("id_b").alias("nb"))
+        .union(pairs.select(F.col("id_b").alias("h"), F.col("id_a").alias("nb")))
+        .union(units.select(F.col("h"), F.col("h").alias("nb")))
     )
-    docs_per = paras.select("h", "doc_id")
-    nb_docs = edges.join(
-        docs_per.withColumnRenamed("h", "nb"), "nb"
-    ).select("h", "doc_id")
+    occ = paras.select(F.col("h").alias("nb"), "doc_id")
     agg = (
         F.count_distinct("doc_id")
         if exact
         else F.approx_count_distinct("doc_id", rsd)
     )
     out = (
-        docs_per.unionByName(nb_docs)
+        closure.join(occ, "nb")
         .groupBy("h")
         .agg(agg.cast("long").alias("n_near_docs"))
     )

@@ -93,6 +93,56 @@ def doc_fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+# Confusable / diacritic folding map for cross-script near-dedup.
+# Strictly 1:1 per character (both engines' ``translate`` is
+# char-for-char), LOSSY BY DESIGN: this is not linguistic
+# transliteration, it is a canonical fold under which diacritic variants
+# ("café" / "cafe"), Cyrillic homoglyph substitutions (Latin "o" swapped
+# for Cyrillic "о" -- the classic dedup-evasion trick) and basic
+# one-letter transliterations land on the same byte stream so char-n-gram
+# MinHash buckets them together.  Deletion pairs (target "") MUST stay
+# last: translate() drops from-chars beyond the to-string's length in
+# both Spark and DuckDB, so deletions are encoded as the unmatched tail.
+_FOLD_PAIRS: list[tuple[str, str]] = [
+    ("àáâãäåāăą", "a"), ("èéêëēėęě", "e"), ("ìíîïĩīįı", "i"),
+    ("òóôõöøōő", "o"), ("ùúûüũūůű", "u"), ("ýÿŷ", "y"), ("ñńň", "n"),
+    ("çćĉč", "c"), ("šśş", "s"), ("žźż", "z"), ("đď", "d"), ("ß", "s"),
+    ("ğ", "g"), ("ť", "t"), ("ř", "r"), ("ł", "l"), ("æ", "a"), ("œ", "o"),
+    # Cyrillic -> Latin confusable fold (1:1 subset; multi-letter
+    # romanizations collapse to their leading consonant)
+    ("а", "a"), ("б", "b"), ("в", "v"), ("г", "g"), ("д", "d"),
+    ("е", "e"), ("ё", "e"), ("ж", "j"), ("з", "z"), ("и", "i"),
+    ("й", "i"), ("к", "k"), ("л", "l"), ("м", "m"), ("н", "n"),
+    ("о", "o"), ("п", "p"), ("р", "r"), ("с", "s"), ("т", "t"),
+    ("у", "u"), ("ф", "f"), ("х", "h"), ("ц", "c"), ("ч", "c"),
+    ("ш", "s"), ("щ", "s"), ("э", "e"), ("ы", "y"), ("ю", "u"),
+    ("я", "a"),
+    # soft/hard signs carry no segmental content: deleted (keep last)
+    ("ьъ", ""),
+]
+FOLD_FROM = "".join(src for src, _ in _FOLD_PAIRS)
+FOLD_TO = "".join(dst * len(src) for src, dst in _FOLD_PAIRS)
+assert FOLD_FROM[: len(FOLD_TO)] and len(FOLD_TO) <= len(FOLD_FROM)
+
+
+def fold_confusables(c: Column) -> Column:
+    """Case + diacritic + confusable fold: lower -> 1:1 translate over
+    ``_FOLD_PAIRS`` -> whitespace collapse/trim.  The DuckDB twin is
+    ``sql_fold_confusables`` -- generated from the SAME pairs table, so
+    the two engines cannot drift.  Lossy on purpose; see the map's
+    docstring."""
+    return normalize_text(F.translate(F.lower(c), FOLD_FROM, FOLD_TO))
+
+
+def sql_fold_confusables(expr: str) -> str:
+    """DuckDB rendering of ``fold_confusables`` over SQL expression
+    ``expr`` (no quote escaping needed: the fold map contains none)."""
+    return (
+        "trim(regexp_replace(translate(lower(" + expr + "), "
+        f"'{FOLD_FROM}', '{FOLD_TO}'), '\\s+', ' ', 'g'))"
+    )
+
+
 def bind_once(value: Column, fn) -> Column:
     """Evaluate ``value`` ONCE and pass it to ``fn`` as a lambda variable:
     ``transform(array(value), v -> fn(v))[0]``.

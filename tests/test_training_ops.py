@@ -1636,6 +1636,35 @@ def test_paragraph_near_dedup_templated_boilerplate(spark):
         assert clean[i].n_dropped == 1
 
 
+def test_minhash_signature_engines_equal(spark, docs):
+    """The codegen minhash engine (exploded shingles + min aggregates,
+    the default) must emit BIT-IDENTICAL signatures to the interpreted
+    HOF twin -- including short texts (whole-prefix window), empty
+    strings, and NULL texts (row preserved with NULL sigs, which plain
+    explode would silently drop)."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_hof,
+    )
+
+    edge = spark.createDataFrame(
+        [(900001, "ab"), (900002, ""), (900003, None), (900004, "abcd")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    k = 16
+    a = {
+        r["id"]: tuple(r[f"mh_{j}"] for j in range(k))
+        for r in minhash_signatures(both, num_hashes=k).collect()
+    }
+    b = {
+        r["id"]: tuple(r[f"mh_{j}"] for j in range(k))
+        for r in minhash_signatures_hof(both, num_hashes=k).collect()
+    }
+    assert a == b
+    assert 900003 in a and all(v is None for v in a[900003])  # NULL text kept
+
+
 def test_paragraph_near_stats_subsumes_exact_dups(spark):
     """Verbatim boilerplate (identical hash across docs) is flagged by the
     near path WITHOUT needing any LSH pair -- a paragraph is in its own
