@@ -952,6 +952,77 @@ FROM vp WHERE j >= {threshold}
 ORACLE_DEDUP_LSH_VERIFIED = _lsh_verified_oracle_sql()
 
 
+# Cross-script plant map: Latin chars swapped for Cyrillic homoglyphs
+# (a/e/o) and diacritic variants (u/i/n/s/c) -- each target folds back to
+# its source under textstats._FOLD_PAIRS, so the planted copy is a
+# near-dup ONLY through the confusable fold.
+_XLING_FROM = "aeouinsc"
+_XLING_TO = "аеоüíñšç"
+
+
+def docs_with_crosslingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + confusable-substituted copies of every 9th doc (+' xyz'
+    so the pair is near, not exact, after folding): visually identical
+    text sharing almost no byte-level n-grams with its source -- the
+    homoglyph dedup-evasion shape."""
+    d = _documents(spark, sf_dir)
+    var = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), _XLING_FROM, _XLING_TO), F.lit(" xyz")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(var)
+
+
+_SQL_XLING_DUPS = f"""
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         translate(text, '{_XLING_FROM}', '{_XLING_TO}') || ' xyz',
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-script near-dedup: every planted homoglyph/diacritic copy
+    must pair with its source under the confusable fold; the byte-level
+    LSH path scores these pairs near zero (asserted in tests)."""
+    d = docs_with_crosslingual_dups(spark, sf_dir)
+    pairs = dd.crosslingual_near_dup(
+        d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_CROSSLINGUAL_NEAR_DUP = (
+    _lsh_verified_pairs_ctes(
+        4,
+        8,
+        4,
+        3,
+        source_sql=(
+            "SELECT doc_id, "
+            + tx.sql_fold_confusables("text")
+            + f" AS text FROM ({_SQL_XLING_DUPS})"
+        ),
+    )
+    + """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(j, 6) AS jaccard
+FROM vp WHERE j >= 0.5
+"""
+)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: LSH candidates -> exact-Jaccard VERIFY ->
     connected components -> every doc labeled with its group (keep-one =
@@ -2843,6 +2914,7 @@ TRAINING_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_lsh_estimate": q_dedup_lsh_estimate,
+    "crosslingual_near_dup": q_crosslingual_near_dup,
     "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "simhash_pairs": q_simhash_pairs,
@@ -2893,6 +2965,7 @@ TRAINING_ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "dedup_lsh_verified": ORACLE_DEDUP_LSH_VERIFIED,
     "dedup_lsh_estimate": ORACLE_DEDUP_LSH_ESTIMATE,
+    "crosslingual_near_dup": ORACLE_CROSSLINGUAL_NEAR_DUP,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
@@ -2952,6 +3025,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "crosslingual_near_dup",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",
     "paragraph_near_stats",

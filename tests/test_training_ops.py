@@ -1636,6 +1636,62 @@ def test_paragraph_near_dedup_templated_boilerplate(spark):
         assert clean[i].n_dropped == 1
 
 
+def test_crosslingual_near_dup_catches_confusable_copies(spark, docs):
+    """Homoglyph/diacritic-substituted copies (Cyrillic а/е/о for Latin
+    a/e/o, ü/í/ñ/š/ç for u/i/n/s/c) are invisible to byte-level LSH --
+    the planted pairs must be found by crosslingual_near_dup and missed
+    by plain lsh_jaccard_verified on the same corpus."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        crosslingual_near_dup,
+        lsh_jaccard_verified,
+    )
+
+    plant_from, plant_to = "aeouinsc", "аеоüíñšç"
+    var = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), plant_from, plant_to), F.lit(" xyz")
+        ).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(var)
+    planted = {
+        (r.doc_id, r.doc_id + 300000)
+        for r in docs.filter(F.col("doc_id") % 9 == 0).collect()
+    }
+    kw = dict(shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5)
+    folded_pairs = {
+        (r.id_a, r.id_b) for r in crosslingual_near_dup(both, **kw).collect()
+    }
+    assert planted <= folded_pairs, (
+        f"missed {len(planted - folded_pairs)}/{len(planted)} planted pairs"
+    )
+    plain_pairs = {
+        (r.id_a, r.id_b) for r in lsh_jaccard_verified(both, **kw).collect()
+    }
+    assert not (planted & plain_pairs), "byte-level LSH should miss all of them"
+
+
+def test_fold_confusables_diacritics_and_homoglyphs(spark):
+    """The fold canonicalizes case, diacritics, Cyrillic confusables and
+    whitespace; deletions (soft/hard signs) ride the translate tail."""
+    from mariadb_to_graylog_spark.operators.textstats import fold_confusables
+
+    rows = [
+        (1, "  Café  RÉSUMÉ naïve "),
+        (2, "cafe resume naive"),
+        (3, "прóбa"),  # mixed Cyrillic + accented Latin
+        (4, "мягкостьъ"),  # trailing soft/hard signs deleted
+    ]
+    d = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.f
+        for r in d.select("id", fold_confusables(F.col("t")).alias("f")).collect()
+    }
+    assert got[1] == got[2] == "cafe resume naive"
+    assert got[3] == "proba"
+    assert got[4] == "magkost"
+
+
 def test_minhash_signature_engines_equal(spark, docs):
     """The codegen minhash engine (exploded shingles + min aggregates,
     the default) must emit BIT-IDENTICAL signatures to the interpreted
