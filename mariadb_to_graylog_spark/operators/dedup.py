@@ -625,6 +625,45 @@ def _positioned_grams(
     return pg
 
 
+def _gram_cover_intervals(pg: DataFrame, n: int, lower_only: bool) -> DataFrame:
+    """(id, s, e) n-token cover intervals from positioned grams WITHOUT
+    the per-gram position self-join -- the sorted-gram alternative the
+    occurrence cap existed to protect.  Observation: the interval union
+    the coverage/trim decisions consume is exactly the union of
+    [pos, pos+n-1] over every gram occurrence matched elsewhere (a
+    maximal shared run of L tokens is L-n+1 overlapping matched grams
+    whose intervals union back to the full run; the per-pair diagonal
+    islands only pre-merge what ``_merged_intervals`` merges anyway), so
+    "matched elsewhere" is all that must be computed per occurrence:
+
+    - coverage (``lower_only=False``): gram occurs in ANY other doc
+      <=> per-hash min(id) != id OR max(id) != id
+    - trim (``lower_only=True``): gram occurs in a LOWER-id doc
+      <=> per-hash min(id) < id
+
+    One groupBy(h) with min/max (map-side combinable -- a degenerate
+    gram's k occurrences collapse to partial aggregates BEFORE the
+    shuffle, so skew is absorbed where the k^2 join blew up) plus a
+    linear 1:k join-back.  No quadratic anywhere => no
+    ``max_bucket_size`` trade-off: every gram participates, nothing is
+    dropped."""
+    agg = pg.groupBy("h").agg(
+        F.min("id").alias("_min_id"), F.max("id").alias("_max_id")
+    )
+    j = pg.join(agg, "h")
+    if lower_only:
+        j = j.filter(F.col("_min_id") < F.col("id"))
+    else:
+        j = j.filter(
+            (F.col("_min_id") != F.col("id")) | (F.col("_max_id") != F.col("id"))
+        )
+    return j.select(
+        "id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).cast("long").alias("e"),
+    )
+
+
 def _merged_intervals(runs: DataFrame) -> DataFrame:
     """Per-id interval union of (id, s, e) runs -- one windowed pass: an
     interval starts a new island iff its start exceeds the running max
@@ -711,6 +750,7 @@ def verbatim_coverage(
     text_col: str = "text",
     n: int = 15,
     max_bucket_size: int | None = None,
+    strategy: str = "grouped",
 ) -> DataFrame:
     """(doc_id, n_tokens, covered_tokens, coverage): the fraction of each
     document's tokens lying inside ANY verbatim run of >= ``n`` tokens
@@ -737,9 +777,23 @@ def verbatim_coverage(
     a second map-side projection over the source (one extra scan branch,
     no shuffle -- cheaper than carrying the count through the gram
     explode); an empty/whitespace text normalizes to one empty token
-    (n_tokens=1, coverage 0)."""
+    (n_tokens=1, coverage 0).
+
+    ``strategy`` picks the matched-gram derivation -- results are
+    IDENTICAL (asserted by tests), only the plan differs:
+
+    - ``"grouped"`` (default): ``_gram_cover_intervals`` -- per-hash
+      min/max aggregate + linear join-back, NO position self-join, so
+      degenerate grams cost k rows instead of k^2 and
+      ``max_bucket_size`` is unnecessary (honored if passed, for
+      identical-input comparisons against the join twin).
+    - ``"join"``: the original position self-join -> diagonal islands
+      path (the cross-check twin; needs the cap on degenerate
+      corpora)."""
     from mariadb_to_graylog_spark.operators.textstats import normalize_text
 
+    if strategy not in ("grouped", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias(
@@ -749,23 +803,26 @@ def verbatim_coverage(
     pg = _positioned_grams(
         df, id_col, text_col, n, max_bucket_size, hasher=F.md5, hash_type="string"
     )
-    a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
-    b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
-    matched = (
-        a.join(b, "h")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "pos_a",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    if strategy == "grouped":
+        runs = _gram_cover_intervals(pg, n, lower_only=False)
+    else:
+        a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+        b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+        matched = (
+            a.join(b, "h")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                "pos_a",
+                (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+            )
         )
-    )
-    runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
-        F.col("id_a").alias("id"),
-        F.col("run_start").alias("s"),
-        (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
-    )
+        runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
+            F.col("id_a").alias("id"),
+            F.col("run_start").alias("s"),
+            (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
+        )
     covered = _merged_intervals(runs).groupBy("id").agg(
         F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens")
     )
@@ -785,6 +842,7 @@ def trim_verbatim_runs(
     text_col: str = "text",
     n: int = 15,
     max_bucket_size: int | None = None,
+    strategy: str = "grouped",
 ) -> DataFrame:
     """(doc_id, trimmed_text, n_tokens, n_tokens_removed): Lee-et-al
     substring DEDUPLICATION, not just detection -- every token span of
@@ -807,29 +865,43 @@ def trim_verbatim_runs(
     which the gram cap bounds), text shuffles only on that final join.
     DESTRUCTIVE, so grams carry their FULL 128-bit md5 like
     ``verbatim_coverage``: an unverified 32-bit collision here would not
-    flag a spurious pair, it would silently DELETE n real tokens."""
+    flag a spurious pair, it would silently DELETE n real tokens.
+
+    ``strategy="grouped"`` (default) derives covered positions from a
+    per-hash min-id aggregate (``_gram_cover_intervals``: a position is
+    trimmed iff its gram also occurs in a lower-id doc, i.e.
+    min(id) over the hash < id) -- no position self-join, so the
+    degenerate-gram quadratic never happens and NO occurrence cap is
+    needed on the destructive path.  ``strategy="join"`` keeps the
+    original self-join + diagonal-islands derivation as the cross-check
+    twin; results are identical (asserted by tests)."""
     from mariadb_to_graylog_spark.operators.textstats import normalize_text
 
+    if strategy not in ("grouped", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     pg = _positioned_grams(
         df, id_col, text_col, n, max_bucket_size, hasher=F.md5, hash_type="string"
     )
-    a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
-    b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
-    matched = (
-        a.join(b, "h")
-        .filter(F.col("id_a") > F.col("id_b"))  # keep the lowest-id copy
-        .select(
-            "id_a",
-            "id_b",
-            "pos_a",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    if strategy == "grouped":
+        runs = _gram_cover_intervals(pg, n, lower_only=True)
+    else:
+        a = pg.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+        b = pg.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+        matched = (
+            a.join(b, "h")
+            .filter(F.col("id_a") > F.col("id_b"))  # keep the lowest-id copy
+            .select(
+                "id_a",
+                "id_b",
+                "pos_a",
+                (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+            )
         )
-    )
-    runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
-        F.col("id_a").alias("id"),
-        F.col("run_start").alias("s"),
-        (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
-    )
+        runs = diagonal_run_islands(matched, ["id_a", "id_b"], n).select(
+            F.col("id_a").alias("id"),
+            F.col("run_start").alias("s"),
+            (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
+        )
     merged = (
         _merged_intervals(runs)
         .groupBy("id")

@@ -1512,28 +1512,85 @@ def test_verbatim_coverage_and_trim_match_bruteforce(spark):
         toks, cov, cov_lower = brute(docs, n=5)
         d = spark.createDataFrame(docs, "doc_id long, text string")
 
-        got_cov = {
-            r.doc_id: (r.n_tokens, r.covered_tokens)
-            for r in verbatim_coverage(d, n=5).collect()
-        }
-        assert got_cov == {
-            i: (len(toks[i]), len(cov[i])) for i in toks
-        }, f"coverage mismatch at seed {seed}"
+        for strategy in ("grouped", "join"):
+            got_cov = {
+                r.doc_id: (r.n_tokens, r.covered_tokens)
+                for r in verbatim_coverage(d, n=5, strategy=strategy).collect()
+            }
+            assert got_cov == {
+                i: (len(toks[i]), len(cov[i])) for i in toks
+            }, f"coverage mismatch at seed {seed} strategy {strategy}"
 
-        got_trim = {
-            r.doc_id: (r.trimmed_text, r.n_tokens_removed)
-            for r in trim_verbatim_runs(d, n=5).collect()
-        }
-        want_trim = {
-            i: (
-                " ".join(
-                    t for p, t in enumerate(toks[i]) if p not in cov_lower[i]
-                ),
-                len(cov_lower[i]),
-            )
-            for i in toks
-        }
-        assert got_trim == want_trim, f"trim mismatch at seed {seed}"
+            got_trim = {
+                r.doc_id: (r.trimmed_text, r.n_tokens_removed)
+                for r in trim_verbatim_runs(d, n=5, strategy=strategy).collect()
+            }
+            want_trim = {
+                i: (
+                    " ".join(
+                        t for p, t in enumerate(toks[i]) if p not in cov_lower[i]
+                    ),
+                    len(cov_lower[i]),
+                )
+                for i in toks
+            }
+            assert got_trim == want_trim, f"trim mismatch at seed {seed} strategy {strategy}"
+
+
+def test_verbatim_grouped_needs_no_cap_on_degenerate_grams(spark):
+    """The r5 trade-off the grouped strategy removes: a degenerate gram
+    (one 5-token phrase repeated across every doc) forces the join path
+    to either blow up quadratically or DROP the gram under
+    max_bucket_size -- silently missing real duplication on the
+    destructive path.  The grouped path has no cap and must (a) agree
+    exactly with the UNCAPPED join path, and (b) catch the duplication
+    the capped join path misses."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        trim_verbatim_runs,
+        verbatim_coverage,
+    )
+
+    phrase = "the quick brown fox jumps"  # one shared 5-gram, 40 occurrences
+    rows = [
+        (i, f"u{i}a u{i}b {phrase} u{i}c u{i}d") for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cov_grouped = {
+        (r.doc_id, r.covered_tokens, r.coverage)
+        for r in verbatim_coverage(d, n=5, strategy="grouped").collect()
+    }
+    cov_join = {
+        (r.doc_id, r.covered_tokens, r.coverage)
+        for r in verbatim_coverage(d, n=5, strategy="join").collect()
+    }
+    assert cov_grouped == cov_join  # uncapped join twin agrees exactly
+    assert all(c == 5 for _, c, _ in cov_grouped)  # every doc: the phrase
+
+    trim_grouped = {
+        (r.doc_id, r.trimmed_text, r.n_tokens_removed)
+        for r in trim_verbatim_runs(d, n=5, strategy="grouped").collect()
+    }
+    trim_join = {
+        (r.doc_id, r.trimmed_text, r.n_tokens_removed)
+        for r in trim_verbatim_runs(d, n=5, strategy="join").collect()
+    }
+    assert trim_grouped == trim_join
+    # doc 0 keeps the only surviving copy; every other doc loses it
+    got = {i: (t, rm) for i, t, rm in trim_grouped}
+    assert got[0] == (f"u0a u0b {phrase} u0c u0d", 0)
+    for i in range(1, 40):
+        assert got[i] == (f"u{i}a u{i}b u{i}c u{i}d", 5)
+
+    # the capped join path DROPS the degenerate gram (the miss the
+    # grouped default exists to eliminate)
+    capped = {
+        r.doc_id: r.n_tokens_removed
+        for r in trim_verbatim_runs(
+            d, n=5, strategy="join", max_bucket_size=10
+        ).collect()
+    }
+    assert all(v == 0 for v in capped.values())
 
 
 def test_trim_verbatim_runs_keeps_lowest_id_copy(spark):

@@ -156,10 +156,13 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         return contamination_extents(d, ev, n=15, max_bucket_size=cap).count()
 
     def coverage():
-        return dd.verbatim_coverage(d, n=15, max_bucket_size=cap).count()
+        # grouped default: per-hash min/max aggregate, no position
+        # self-join, so NO cap -- the universal footer is counted, not
+        # dropped (the r5 join path needed max_bucket_size here)
+        return dd.verbatim_coverage(d, n=15).count()
 
     def trim():
-        return dd.trim_verbatim_runs(d, n=15, max_bucket_size=cap).count()
+        return dd.trim_verbatim_runs(d, n=15).count()
 
     def cdc():
         return dd.cdc_chunk_stats(d, window=8, boundary_mod=64).count()
