@@ -1694,6 +1694,93 @@ GROUP BY bucket
 """
 
 
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a quality cutoff at t actually KEEPS -- the table a data-mixing
+    run consults before picking the threshold (r5 verdict ask #6,
+    extending ``q_quality_dup_calibration`` from per-bucket description to
+    per-threshold decision support): for each candidate cutoff t,
+    (docs kept, training tokens kept, exact-dup rate among kept,
+    English share among kept).
+
+    Scale shape: ONE pass over the corpus into <= 10 fixed-width quality
+    buckets (floor(q*10), map-side -- same no-global-ntile argument as
+    the calibration table), per-bucket exact integer sums, then the
+    sweep is a SUFFIX-CUMULATIVE window over the <= 10 bucket rows
+    (keep-at-threshold-t = everything in buckets >= 10t), so the
+    unpartitioned window is over a provably tiny aggregate, never the
+    data.  Dup flags use corpus-wide md5 frequency (is this doc a copy
+    of anything in the corpus, same semantics as the calibration
+    table); lang mix uses the table's lang column."""
+    d = docs_with_exact_dups(spark, sf_dir)
+    s = d.select(
+        F.least(
+            F.floor(tx.quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.md5("text").alias("h"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    )
+    freq = s.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    per = (
+        s.join(freq, "h")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_docs"),
+            F.sum((F.col("_n") >= 2).cast("long")).alias("_dups"),
+            F.sum("n_tok").alias("_toks"),
+            F.sum("is_en").alias("_en"),
+        )
+    )
+    # suffix-cumulative over <= 10 rows: single-partition window is fine
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.select(
+        F.round(F.col("bucket") / 10.0, 1).alias("threshold"),
+        F.sum("_docs").over(w).alias("n_docs_kept"),
+        F.sum("_toks").over(w).alias("kept_tokens"),
+        F.round(F.sum("_dups").over(w) / F.sum("_docs").over(w), 6).alias(
+            "dup_rate_kept"
+        ),
+        F.round(F.sum("_en").over(w) / F.sum("_docs").over(w), 6).alias(
+            "en_share_kept"
+        ),
+    )
+
+
+ORACLE_QUALITY_THRESHOLD_SWEEP = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+q AS (
+  SELECT doc_id, md5(text) AS h, lang,
+{_SQL_QUALITY_INPUTS}
+  FROM d
+),
+s AS (
+  SELECT h, CAST(n_tok AS BIGINT) AS n_tok_i,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         least(CAST(floor({_SQL_QUALITY_EXPR} * 10) AS INT), 9) AS bucket
+  FROM q
+),
+f AS (SELECT h, count(*) AS n FROM s GROUP BY h),
+per AS (
+  SELECT bucket, count(*) AS docs,
+         sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS dups,
+         sum(n_tok_i) AS toks, sum(is_en) AS en
+  FROM s JOIN f USING (h)
+  GROUP BY bucket
+)
+SELECT round(bucket / 10.0, 1) AS threshold,
+       CAST(sum(docs) OVER w AS BIGINT) AS n_docs_kept,
+       CAST(sum(toks) OVER w AS BIGINT) AS kept_tokens,
+       round(CAST(sum(dups) OVER w AS DOUBLE) / (sum(docs) OVER w), 6)
+         AS dup_rate_kept,
+       round(CAST(sum(en) OVER w AS DOUBLE) / (sum(docs) OVER w), 6)
+         AS en_share_kept
+FROM per
+WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
     toks = tx.tokens(F.col("text"))
@@ -2927,6 +3014,7 @@ TRAINING_QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "quality_dup_calibration": q_quality_dup_calibration,
+    "quality_threshold_sweep": q_quality_threshold_sweep,
     "source_overlap": q_source_overlap,
     "cdc_chunk_stats": q_cdc_chunk_stats,
     "token_stats": q_token_stats,
@@ -2978,6 +3066,7 @@ TRAINING_ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_dup_calibration": ORACLE_QUALITY_DUP_CALIBRATION,
+    "quality_threshold_sweep": ORACLE_QUALITY_THRESHOLD_SWEEP,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "cdc_chunk_stats": ORACLE_CDC_CHUNK_STATS,
     "token_stats": ORACLE_TOKEN_STATS,
@@ -3026,6 +3115,7 @@ TRAINING_ORACLES = {
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
     "crosslingual_near_dup",
+    "quality_threshold_sweep",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",
     "paragraph_near_stats",

@@ -2106,3 +2106,27 @@ def test_streaming_windowed_counts(spark, transcripts, tmp_path):
     q.stop()
     rows = spark.sql("SELECT * FROM sevcounts").collect()
     assert sum(r.n for r in rows) > 0
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """r5 verdict ask #6: the threshold sweep is decision-support -- as the
+    cutoff t rises, kept docs and kept tokens must be non-increasing, the
+    t=0 row must equal the whole-corpus totals, and every rate must stay
+    in [0, 1]."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        eq.ALL_QUERIES["quality_threshold_sweep"](spark, sf).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows, "sweep returned no rows"
+    # lowest threshold keeps everything
+    total = eq.docs_with_exact_dups(spark, sf).count()
+    assert rows[0].n_docs_kept == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs_kept <= prev.n_docs_kept
+        assert cur.kept_tokens <= prev.kept_tokens
+    for r in rows:
+        assert 0.0 <= r.dup_rate_kept <= 1.0
+        assert 0.0 <= r.en_share_kept <= 1.0
