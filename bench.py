@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "entry_islands",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "crosslingual_near_dup",
     "dedup_groups",
     "simhash_banded",
     "embed_neardup_lsh",
@@ -144,6 +145,8 @@ QUERY_NAMES = [
     "paragraph_dedup",
     "paragraph_near_stats",
     "decontaminate_extents",
+    "decontaminate_coverage",
+    "trim_contaminated",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",
@@ -155,6 +158,7 @@ QUERY_NAMES = [
     "knn_bruteforce",
     "knn_ivf_trained",
     "lang_id",
+    "quality_threshold_sweep",
     "token_percentiles",
     "tpch_pricing",
 ]

@@ -2800,6 +2800,116 @@ FROM r
 """
 
 
+# Shared oracle CTE chain for the vs-eval-set coverage/trim twins: the
+# leaked slice (doc_id % 13 = 0) plays the eval set, grams carry FULL md5
+# (destructive family -- mirrors dedup._positioned_grams), CTE ``r`` ends
+# at RAW per-doc cover intervals.  Like _verbatim_merged_ctes, deliberately
+# NO interval-merge window in SQL (DuckDB's parallel window executor
+# intermittently mis-evaluates the running-max-end frame); both consumers
+# are order-independent (DISTINCT positions / membership in ANY interval).
+_DECONTAM_COVER_CTES = """
+WITH s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+),
+t AS (SELECT doc_id, str_split(s, ' ') AS toks FROM s),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 12, 0) + 1),
+      i -> {'pos': i - 1,
+            'h': md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 12),
+                   ' '))})) AS u
+    FROM t
+  )
+),
+ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 13 = 0),
+r AS (
+  SELECT g.doc_id AS id, pos AS s_, pos + 12 AS e_
+  FROM g JOIN ev USING (h)
+)"""
+
+
+def q_decontaminate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trim-vs-drop decision metric behind ``decontaminate``'s
+    boolean: fraction of each document's tokens inside any >= 13-token
+    run shared with the leaked eval slice, overlapping runs counted once
+    (interval union).  Eval docs themselves report contamination 1.0 by
+    construction; clean docs 0.0; every doc appears."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_coverage
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination_coverage(d, eval_df, n=13).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "contaminated_tokens",
+        "contamination",
+    )
+
+
+ORACLE_DECONTAMINATE_COVERAGE = (
+    _DECONTAM_COVER_CTES
+    + """,
+tok AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+cov AS (
+  SELECT id, count(DISTINCT p) AS covered
+  FROM (SELECT id, unnest(range(s_, e_ + 1)) AS p FROM r)
+  GROUP BY id
+)
+SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(covered, 0) AS BIGINT) AS contaminated_tokens,
+       round(coalesce(covered, 0)::DOUBLE / n_tokens, 6) AS contamination
+FROM tok LEFT JOIN cov ON cov.id = tok.doc_id
+"""
+)
+
+
+def q_trim_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: every >= 13-token span shared with the
+    leaked eval slice is removed, so mostly-clean documents survive
+    curation instead of being dropped whole; eval docs husk to empty."""
+    from mariadb_to_graylog_spark.operators.decontam import trim_contaminated_runs
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return trim_contaminated_runs(d, eval_df, n=13).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "trimmed_text",
+        "n_tokens",
+        "n_tokens_removed",
+    )
+
+
+ORACLE_TRIM_CONTAMINATED = (
+    _DECONTAM_COVER_CTES
+    + """,
+iv AS (
+  SELECT id, list({'ms': s_, 'me': e_} ORDER BY s_, e_) AS ivs FROM r GROUP BY id
+),
+j AS (
+  SELECT t.doc_id, t.toks,
+         coalesce(iv.ivs, []::STRUCT(ms BIGINT, me BIGINT)[]) AS ivs
+  FROM t LEFT JOIN iv ON iv.id = t.doc_id
+),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) ->
+           len(list_filter(ivs, v -> (i - 1) >= v.ms AND (i - 1) <= v.me)) = 0
+         ) AS kept
+  FROM j
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS trimmed_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+FROM k
+"""
+)
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated
     percentiles -- the oracle path; approx_percentile is the 100 TB
@@ -3041,6 +3151,8 @@ TRAINING_QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bucketed": q_decontaminate_bucketed,
     "decontaminate_extents": q_decontaminate_extents,
+    "decontaminate_coverage": q_decontaminate_coverage,
+    "trim_contaminated": q_trim_contaminated,
     "curation_pipeline": q_curation_pipeline,
     "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
@@ -3093,6 +3205,8 @@ TRAINING_ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bucketed": ORACLE_DECONTAMINATE,
     "decontaminate_extents": ORACLE_DECONTAMINATE_EXTENTS,
+    "decontaminate_coverage": ORACLE_DECONTAMINATE_COVERAGE,
+    "trim_contaminated": ORACLE_TRIM_CONTAMINATED,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
@@ -3116,6 +3230,8 @@ _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
     "crosslingual_near_dup",
     "quality_threshold_sweep",
+    "decontaminate_coverage",
+    "trim_contaminated",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",
     "paragraph_near_stats",

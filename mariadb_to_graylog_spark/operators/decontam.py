@@ -418,3 +418,152 @@ def contamination_extents(
         (F.col("run_start") - F.col("diag")).cast("long").alias("eval_start"),
         "run_tokens",
     )
+
+
+def _eval_cover_runs(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str,
+    n: int,
+    pin_broadcast: bool,
+    op_name: str,
+    on_null_id: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(projected docs, raw (id, s, e) cover runs) shared by
+    ``contamination_coverage`` and ``trim_contaminated_runs``.
+
+    The vs-eval-set analogue of ``dedup._gram_cover_intervals``'s
+    observation: the interval union the coverage/trim decisions consume
+    is exactly the union of [pos, pos+n-1] over every doc gram occurrence
+    whose hash is IN the eval gram set -- so "matched" is a semi-join
+    against the eval set's DISTINCT hashes, no position self-join, no
+    diagonal bookkeeping, no occurrence-cap trade-off (a degenerate gram
+    costs k rows, never k^2).
+
+    Both consumers DELETE or feed drop decisions, so grams carry their
+    FULL 128-bit md5 (``word_ngram_pos_hashes(hasher=F.md5)``) like the
+    verbatim twins: a 32-bit collision here would not flag a spurious
+    candidate, it would silently censor n real tokens.  The eval side is
+    small by definition, so its distinct hashes broadcast
+    (``pin_broadcast=True`` default; False lets AQE choose for
+    corpus-sized references)."""
+    doc_id = _null_id_guard(id_col, op_name, on_null_id)
+    if on_null_id == "drop":
+        docs = docs.filter(F.col(id_col).isNotNull())
+    docs2 = docs.select(doc_id.alias("doc_id"), F.col(text_col).alias("text"))
+    eh = (
+        eval_df.select(
+            F.explode(
+                word_ngram_pos_hashes(F.col(eval_text_col), n, F.md5, "string")
+            ).alias("g")
+        )
+        .select(F.col("g.h").alias("h"))
+        .distinct()
+    )
+    if pin_broadcast:
+        eh = F.broadcast(eh)
+    dg = docs2.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngram_pos_hashes(F.col("text"), n, F.md5, "string")).alias(
+            "g"
+        ),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    runs = dg.join(eh, "h", "leftsemi").select(
+        "id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).cast("long").alias("e"),
+    )
+    return docs2, runs
+
+
+def contamination_coverage(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+    pin_broadcast: bool = True,
+    on_null_id: str = "error",
+) -> DataFrame:
+    """(doc_id, n_tokens, contaminated_tokens, contamination): the
+    fraction of each document's tokens lying inside ANY verbatim run of
+    >= ``n`` tokens shared with ANY eval item -- the trim-vs-drop
+    DECISION metric ``contamination``'s boolean and
+    ``contamination_extents``'s per-alignment rows both stop short of
+    (a curation run trims when contamination is small, drops the doc
+    when the overlap dominates it).  Every document appears; clean
+    documents report 0.0.  Overlapping runs from different eval items
+    (or different alignments of one item) count a span ONCE -- the
+    per-doc interval union of ``dedup._coverage_from_runs``.
+
+    Scale shape: eval distinct-hash broadcast -> semi-join over the doc
+    positioned grams (documents never move; only (id, pos) pairs of
+    MATCHED grams shuffle into the per-doc union window).  Full-md5 gram
+    identity -- this score feeds drop decisions (see
+    ``_eval_cover_runs``)."""
+    from mariadb_to_graylog_spark.operators.dedup import _coverage_from_runs
+
+    docs2, runs = _eval_cover_runs(
+        docs,
+        eval_df,
+        id_col,
+        text_col,
+        eval_text_col,
+        n,
+        pin_broadcast,
+        "contamination_coverage",
+        on_null_id,
+    )
+    return _coverage_from_runs(
+        docs2,
+        "doc_id",
+        "text",
+        runs,
+        covered_name="contaminated_tokens",
+        frac_name="contamination",
+    )
+
+
+def trim_contaminated_runs(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 13,
+    pin_broadcast: bool = True,
+    on_null_id: str = "error",
+) -> DataFrame:
+    """(doc_id, trimmed_text, n_tokens, n_tokens_removed): surgical
+    DECONTAMINATION -- every token span of >= ``n`` tokens that also
+    appears in the eval set is removed from the document, so a mostly-
+    clean document survives curation instead of being dropped whole for
+    one quoted benchmark item.  A doc sharing nothing keeps its text; a
+    doc fully contained in the eval set comes back as an empty husk
+    (caller filters), mirroring ``trim_verbatim_runs``.
+
+    ``trimmed_text`` is the space-joined surviving tokens of the
+    NORMALIZED text (lowercased, whitespace-collapsed) -- the same token
+    stream the runs are defined on, exactly as in the verbatim twin.
+
+    Shape: ``_eval_cover_runs`` (eval-hash broadcast semi-join, full-md5
+    grams, no self-join) -> per-doc interval union -> ONE map-side
+    higher-order filter (``dedup._trim_by_runs``); text shuffles only on
+    the final interval join-back."""
+    from mariadb_to_graylog_spark.operators.dedup import _trim_by_runs
+
+    docs2, runs = _eval_cover_runs(
+        docs,
+        eval_df,
+        id_col,
+        text_col,
+        eval_text_col,
+        n,
+        pin_broadcast,
+        "trim_contaminated_runs",
+        on_null_id,
+    )
+    return _trim_by_runs(docs2, "doc_id", "text", runs)

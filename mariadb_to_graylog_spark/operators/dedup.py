@@ -688,6 +688,101 @@ def _merged_intervals(runs: DataFrame) -> DataFrame:
     )
 
 
+def _coverage_from_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    runs: DataFrame,
+    covered_name: str = "covered_tokens",
+    frac_name: str = "coverage",
+) -> DataFrame:
+    """(doc_id, n_tokens, <covered_name>, <frac_name>) from raw (id, s, e)
+    cover runs: per-doc interval union (``_merged_intervals``) -> covered
+    token count -> left-join back so EVERY document appears (clean docs
+    report 0).  Shared by ``verbatim_coverage`` and
+    ``decontam.contamination_coverage`` so union semantics cannot drift
+    between the intra-corpus and the vs-eval-set decision metrics."""
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    covered = _merged_intervals(runs).groupBy("id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("_cov")
+    )
+    return toks.join(covered, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.coalesce("_cov", F.lit(0)).alias(covered_name),
+        F.round(F.coalesce("_cov", F.lit(0)) / F.col("n_tokens"), 6).alias(
+            frac_name
+        ),
+    )
+
+
+def _trim_by_runs(
+    df: DataFrame, id_col: str, text_col: str, runs: DataFrame
+) -> DataFrame:
+    """(doc_id, trimmed_text, n_tokens, n_tokens_removed) from raw
+    (id, s, e) cover runs: interval union per doc, the merged list joins
+    back as an array (bounded by run count), then ONE map-side
+    higher-order filter drops covered token positions -- text shuffles
+    only on that final join.  Shared by ``trim_verbatim_runs`` and
+    ``decontam.trim_contaminated_runs``."""
+    from mariadb_to_graylog_spark.operators.textstats import bind_once, normalize_text
+
+    merged = (
+        _merged_intervals(runs)
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ms"), F.col("me")))
+            ).alias("ivs")
+        )
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def _trim(ts: Column, ivs: Column) -> Column:
+        # ts is a materialized column (attribute reads are free); the
+        # filtered array is bound once -- HOF expressions are interpreted
+        # with no CSE, and the per-token exists() scan is the costly part
+        def _pack(kept: Column) -> Column:
+            return F.struct(
+                F.array_join(kept, " ").alias("txt"),
+                (F.size(ts) - F.size(kept)).cast("long").alias("removed"),
+                F.size(ts).cast("long").alias("total"),
+            )
+
+        return bind_once(
+            F.filter(
+                ts,
+                lambda x, i: ~F.exists(
+                    ivs, lambda iv: (i >= iv["ms"]) & (i <= iv["me"])
+                ),
+            ),
+            _pack,
+        )
+
+    out = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .join(merged, "id", "left")
+        .withColumn(
+            "_ivs",
+            F.coalesce(F.col("ivs"), F.array().cast("array<struct<ms:long,me:long>>")),
+        )
+        .select("id", _trim(F.col("_toks"), F.col("_ivs")).alias("_t"))
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("_t.txt").alias("trimmed_text"),
+        F.col("_t.total").alias("n_tokens"),
+        F.col("_t.removed").alias("n_tokens_removed"),
+    )
+
+
 def shared_run_extents(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -790,16 +885,8 @@ def verbatim_coverage(
     - ``"join"``: the original position self-join -> diagonal islands
       path (the cross-check twin; needs the cap on degenerate
       corpora)."""
-    from mariadb_to_graylog_spark.operators.textstats import normalize_text
-
     if strategy not in ("grouped", "join"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long").alias(
-            "n_tokens"
-        ),
-    )
     pg = _positioned_grams(
         df, id_col, text_col, n, max_bucket_size, hasher=F.md5, hash_type="string"
     )
@@ -823,17 +910,7 @@ def verbatim_coverage(
             F.col("run_start").alias("s"),
             (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
         )
-    covered = _merged_intervals(runs).groupBy("id").agg(
-        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("covered_tokens")
-    )
-    return toks.join(covered, "id", "left").select(
-        F.col("id").alias("doc_id"),
-        "n_tokens",
-        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-        F.round(
-            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
-        ).alias("coverage"),
-    )
+    return _coverage_from_runs(df, id_col, text_col, runs)
 
 
 def trim_verbatim_runs(
@@ -875,8 +952,6 @@ def trim_verbatim_runs(
     needed on the destructive path.  ``strategy="join"`` keeps the
     original self-join + diagonal-islands derivation as the cross-check
     twin; results are identical (asserted by tests)."""
-    from mariadb_to_graylog_spark.operators.textstats import normalize_text
-
     if strategy not in ("grouped", "join"):
         raise ValueError(f"unknown strategy {strategy!r}")
     pg = _positioned_grams(
@@ -902,55 +977,7 @@ def trim_verbatim_runs(
             F.col("run_start").alias("s"),
             (F.col("run_start") + F.col("run_tokens") - 1).alias("e"),
         )
-    merged = (
-        _merged_intervals(runs)
-        .groupBy("id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("ms"), F.col("me")))
-            ).alias("ivs")
-        )
-    )
-    from mariadb_to_graylog_spark.operators.textstats import bind_once
-
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-
-    def _trim(ts: Column, ivs: Column) -> Column:
-        # ts is a materialized column (attribute reads are free); the
-        # filtered array is bound once -- HOF expressions are interpreted
-        # with no CSE, and the per-token exists() scan is the costly part
-        def _pack(kept: Column) -> Column:
-            return F.struct(
-                F.array_join(kept, " ").alias("txt"),
-                (F.size(ts) - F.size(kept)).cast("long").alias("removed"),
-                F.size(ts).cast("long").alias("total"),
-            )
-
-        return bind_once(
-            F.filter(
-                ts,
-                lambda x, i: ~F.exists(
-                    ivs, lambda iv: (i >= iv["ms"]) & (i <= iv["me"])
-                ),
-            ),
-            _pack,
-        )
-
-    out = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-        .join(merged, "id", "left")
-        .withColumn(
-            "_ivs",
-            F.coalesce(F.col("ivs"), F.array().cast("array<struct<ms:long,me:long>>")),
-        )
-        .select("id", _trim(F.col("_toks"), F.col("_ivs")).alias("_t"))
-    )
-    return out.select(
-        F.col("id").alias("doc_id"),
-        F.col("_t.txt").alias("trimmed_text"),
-        F.col("_t.total").alias("n_tokens"),
-        F.col("_t.removed").alias("n_tokens_removed"),
-    )
+    return _trim_by_runs(df, id_col, text_col, runs)
 
 
 def lsh_bucket_stats(

@@ -109,8 +109,10 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "decontaminate_extents", "paragraph_near_stats", "verbatim_coverage",
      "trim_verbatim", "token_rarity", "sample_quota", "domain_lang_mix",
      "quality_dup_calibration", "source_overlap", "cdc_chunk_stats",
-     # round 6: confusable-fold LSH; suffix-cumulative threshold sweep
-     "crosslingual_near_dup", "quality_threshold_sweep"],
+     # round 6: confusable-fold LSH; suffix-cumulative threshold sweep;
+     # vs-eval-set coverage/trim (semi-join cover intervals)
+     "crosslingual_near_dup", "quality_threshold_sweep",
+     "decontaminate_coverage", "trim_contaminated"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

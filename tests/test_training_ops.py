@@ -2130,3 +2130,140 @@ def test_quality_threshold_sweep_monotone(spark):
     for r in rows:
         assert 0.0 <= r.dup_rate_kept <= 1.0
         assert 0.0 <= r.en_share_kept <= 1.0
+
+
+def test_contamination_coverage_union_and_clean_docs(spark):
+    """Coverage counts exactly the unioned leaked spans: a doc embedding
+    a 20-token eval item reports 20 contaminated tokens; overlapping
+    spans from TWO eval items count once (interval union); clean and
+    too-short docs appear with 0.0; string ids survive."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_coverage
+
+    w = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            ("doc/full", "pre one two " + " ".join(w[0:20]) + " post"),
+            ("doc/union", " ".join(w)),  # ev-1 covers 0..19, ev-2 covers 10..29
+            ("doc/clean", "totally clean text " * 8),
+            ("doc/short", "w0 w1 w2"),
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("ev-1", " ".join(w[0:20])), ("ev-2", " ".join(w[10:30]))],
+        "doc_id string, text string",
+    )
+    out = contamination_coverage(docs, ev, n=13)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r.doc_id: (r.n_tokens, r.contaminated_tokens, r.contamination)
+            for r in out.collect()}
+    assert rows["doc/full"] == (24, 20, round(20 / 24, 6))
+    # union counts the overlap once: 30 covered tokens, not 40
+    assert rows["doc/union"] == (30, 30, 1.0)
+    assert rows["doc/clean"][1:] == (0, 0.0)
+    assert rows["doc/short"][1:] == (0, 0.0)
+    assert len(rows) == 4
+
+
+def test_trim_contaminated_runs_surgical(spark):
+    """The planted eval span is removed exactly (surrounding text kept
+    in order); an eval-identical doc husks to empty; clean docs keep
+    their normalized text; removed + kept == total."""
+    from mariadb_to_graylog_spark.operators.decontam import trim_contaminated_runs
+
+    w = [f"w{i}" for i in range(20)]
+    eval_item = " ".join(w)
+    docs = spark.createDataFrame(
+        [
+            ("doc/full", "pre one two " + eval_item + " post"),
+            ("doc/exact", eval_item),
+            ("doc/clean", "Totally  Clean text here"),
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame([("e1", eval_item)], "doc_id string, text string")
+    rows = {r.doc_id: r for r in trim_contaminated_runs(docs, ev, n=13).collect()}
+    assert rows["doc/full"].trimmed_text == "pre one two post"
+    assert rows["doc/full"].n_tokens == 24
+    assert rows["doc/full"].n_tokens_removed == 20
+    assert rows["doc/exact"].trimmed_text == ""
+    assert rows["doc/exact"].n_tokens_removed == 20
+    # normalized (lowercased, whitespace-collapsed), untouched
+    assert rows["doc/clean"].trimmed_text == "totally clean text here"
+    assert rows["doc/clean"].n_tokens_removed == 0
+
+
+def test_contamination_coverage_null_id_policy(spark):
+    """NULL doc ids follow the loud null-id policy on both new ops:
+    default raises map-side, on_null_id='drop' filters."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_coverage,
+        trim_contaminated_runs,
+    )
+
+    ev_item = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(None, ev_item), ("ok", ev_item)], "doc_id string, text string"
+    )
+    ev = spark.createDataFrame([("e1", ev_item)], "doc_id string, text string")
+    for fn in (contamination_coverage, trim_contaminated_runs):
+        with pytest.raises(SparkRuntimeException, match="NULL 'doc_id'"):
+            fn(docs, ev, n=13).collect()
+        kept = fn(docs, ev, n=13, on_null_id="drop").collect()
+        assert [r.doc_id for r in kept] == ["ok"]
+
+
+def test_contamination_coverage_agrees_with_brute_force(spark):
+    """Small-vocab corpus (accidental runs everywhere) cross-checked
+    against a pure-Python reference: per-doc covered positions = union of
+    [pos, pos+n-1] over doc grams present in the eval gram set -- the
+    geometry (nested/overlapping/adjacent runs) hand goldens miss."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_coverage,
+        trim_contaminated_runs,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c"]
+    n = 4
+    docs_py = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(1, 30))] for i in range(30)
+    }
+    ev_py = {j: [rng.choice(vocab) for _ in range(rng.randint(4, 12))]
+             for j in (100, 101)}
+    ev_grams = {
+        tuple(t[k:k + n])
+        for t in ev_py.values()
+        for k in range(len(t) - n + 1)
+    }
+    expect_cov, expect_trim = {}, {}
+    for i, t in docs_py.items():
+        covered = set()
+        for k in range(len(t) - n + 1):
+            if tuple(t[k:k + n]) in ev_grams:
+                covered.update(range(k, k + n))
+        expect_cov[i] = (len(t), len(covered))
+        expect_trim[i] = " ".join(
+            tok for k, tok in enumerate(t) if k not in covered
+        )
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(j, " ".join(t)) for j, t in ev_py.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.contaminated_tokens)
+        for r in contamination_coverage(docs, ev, n=n).collect()
+    }
+    assert got == expect_cov
+    got_trim = {
+        r.doc_id: r.trimmed_text
+        for r in trim_contaminated_runs(docs, ev, n=n).collect()
+    }
+    assert got_trim == expect_trim
