@@ -2966,6 +2966,111 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_trim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salvage-not-drop curation flow: exact dedup -> SURGICAL
+    eval-span trim (``trim_contaminated_runs``; the sibling
+    ``curation_pipeline`` drops contaminated docs whole) -> quality
+    RE-SCORED on the trimmed text -> keep non-husk docs passing the gate
+    -> per-language accounting including the tokens the trim recovered.
+    Checks the COMPOSITION: trim feeding a downstream scorer is where
+    token-stream mismatches would surface."""
+    from mariadb_to_graylog_spark.operators.decontam import trim_contaminated_runs
+
+    d = docs_with_exact_dups(spark, sf_dir)
+    deduped, _ = dd.exact_dedup(d)
+    eval_df = _documents(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
+    t = trim_contaminated_runs(deduped, eval_df, n=13).join(
+        deduped.select("doc_id", "lang"), "doc_id"
+    )
+    scored = t.withColumn("quality", tx.quality_score(F.col("trimmed_text")))
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens_removed") < F.col("n_tokens"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens_removed").cast("long").alias("tokens_trimmed"),
+        F.sum(F.col("n_tokens") - F.col("n_tokens_removed"))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+ORACLE_CURATION_TRIM_PIPELINE = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+dd AS (
+  SELECT d.* FROM d
+  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM d GROUP BY md5(text)) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keep_id
+),
+t AS (
+  SELECT doc_id, lang,
+         str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS toks
+  FROM dd
+),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 12, 0) + 1),
+      i -> {{'pos': i - 1,
+            'h': md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 12),
+                   ' '))}})) AS u
+    FROM t
+  )
+),
+evn AS (
+  SELECT str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS toks
+  FROM documents WHERE doc_id % 13 = 0
+),
+ev AS (
+  SELECT DISTINCT unnest(list_transform(
+    range(1, greatest(len(toks) - 12, 0) + 1),
+    i -> md5(array_to_string(
+           list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 12), ' '))
+  )) AS h
+  FROM evn
+),
+r AS (SELECT g.doc_id AS id, pos AS s_, pos + 12 AS e_ FROM g JOIN ev USING (h)),
+iv AS (
+  SELECT id, list({{'ms': s_, 'me': e_}} ORDER BY s_, e_) AS ivs FROM r GROUP BY id
+),
+k2 AS (
+  SELECT t.doc_id, t.lang, t.toks,
+         list_filter(t.toks, (x, i) ->
+           len(list_filter(
+             coalesce(iv.ivs, []::STRUCT(ms BIGINT, me BIGINT)[]),
+             v -> (i - 1) >= v.ms AND (i - 1) <= v.me)) = 0
+         ) AS kept
+  FROM t LEFT JOIN iv ON iv.id = t.doc_id
+),
+tr AS (
+  SELECT doc_id, lang,
+         coalesce(array_to_string(kept, ' '), '') AS text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(toks) - len(kept) AS BIGINT) AS removed
+  FROM k2
+),
+qs AS (
+  SELECT doc_id, lang, n_tokens, removed,
+{_SQL_QUALITY_INPUTS}
+  FROM tr
+),
+kept AS (
+  SELECT lang, n_tokens, removed, {_SQL_QUALITY_EXPR} AS quality
+  FROM qs
+  WHERE {_SQL_QUALITY_EXPR} >= 0.5 AND removed < n_tokens
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(sum(removed) AS BIGINT) AS tokens_trimmed,
+       CAST(sum(n_tokens - removed) AS BIGINT) AS kept_tokens,
+       round(AVG(quality), 6) AS avg_quality
+FROM kept GROUP BY lang
+"""
+
+
 ORACLE_CURATION_PIPELINE = """
 WITH d AS (
   SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -3154,6 +3259,7 @@ TRAINING_QUERIES = {
     "decontaminate_coverage": q_decontaminate_coverage,
     "trim_contaminated": q_trim_contaminated,
     "curation_pipeline": q_curation_pipeline,
+    "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
@@ -3208,6 +3314,7 @@ TRAINING_ORACLES = {
     "decontaminate_coverage": ORACLE_DECONTAMINATE_COVERAGE,
     "trim_contaminated": ORACLE_TRIM_CONTAMINATED,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "frame_sample": ORACLE_FRAME_SAMPLE,
@@ -3232,6 +3339,7 @@ _DRIVER_PRIORITY = [
     "quality_threshold_sweep",
     "decontaminate_coverage",
     "trim_contaminated",
+    "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",
     "paragraph_near_stats",

@@ -86,7 +86,8 @@ def eval_gram_set(
     text_col: str = "text",
     n: int = 13,
     max_hashes: int = 50_000_000,
-) -> set[int]:
+    full_md5: bool = False,
+) -> set[int] | set[str]:
     """Driver-side distinct gram-hash set of the eval corpus -- small by
     definition (thousands of items vs 10^9+ documents), so collecting it
     is the broadcast pattern, not a scalability hole.
@@ -96,12 +97,28 @@ def eval_gram_set(
     pulled to the driver, so passing a corpus-sized DataFrame fails fast
     with a clear message instead of silently OOMing the driver.  50M
     hashes ~ 400 MB of longs -- a generous eval-suite ceiling, far below
-    driver limits."""
-    distinct_h = (
-        eval_df.select(F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"))
-        .distinct()
-        .persist()  # ONE gram/explode/distinct pass shared by guard + collect
-    )
+    driver limits.
+
+    ``full_md5=True`` returns 32-char hex digests instead of h32 longs --
+    required for DESTRUCTIVE consumers (``contamination_trim_udf``),
+    which must never act on a 32-bit collision; detection-only consumers
+    (``contamination_flag_udf``) keep the cheap longs."""
+    if full_md5:
+        gram_col = word_ngram_pos_hashes(F.col(text_col), n, F.md5, "string")
+        distinct_h = (
+            eval_df.select(F.explode(gram_col).alias("g"))
+            .select(F.col("g.h").alias("h"))
+            .distinct()
+            .persist()
+        )
+    else:
+        distinct_h = (
+            eval_df.select(
+                F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h")
+            )
+            .distinct()
+            .persist()  # ONE gram/explode/distinct pass shared by guard + collect
+        )
     try:
         cnt = distinct_h.count()
         if cnt > max_hashes:
@@ -232,6 +249,97 @@ def contamination_flag_udf(
     # the application unless released, so a long-lived app refreshing the
     # eval set should call udf.eval_broadcast.unpersist() (or .destroy())
     # when it drops the previous flag udf
+    udf.eval_broadcast = bc
+    return udf
+
+
+def contamination_trim_udf(
+    eval_hashes: set[str] | None = None, n: int = 13, eval_broadcast=None
+):
+    """Stateless per-row SURGICAL TRIM for STREAMING: every >= ``n``-token
+    span shared with the broadcast eval set is removed row-locally -- no
+    explode, no shuffle, no state; the map-side twin of
+    ``trim_contaminated_runs`` (bit-identical on the same rows, asserted
+    by tests).  Returns a struct (trimmed_text, n_tokens,
+    n_tokens_removed) so the streaming sink gets the same accounting as
+    the batch op.
+
+    DESTRUCTIVE, so ``eval_hashes`` must be FULL 32-char md5 hex digests
+    (``eval_gram_set(..., full_md5=True)``), never h32 longs: a 32-bit
+    collision here would silently censor n real tokens.  The broadcast
+    value is tagged ('md5', n, hash_set); reusing a
+    ``contamination_flag_udf`` handle (h32 longs, 2-tuple tag) or a trim
+    handle built for a different ``n`` raises instead of silently
+    trimming nothing.  Broadcast lifecycle and the exactly-one-of
+    eval_hashes/eval_broadcast contract mirror
+    ``contamination_flag_udf``."""
+    import hashlib
+    import re
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    if (eval_hashes is None) == (eval_broadcast is None):
+        raise ValueError(
+            "pass exactly one of eval_hashes (fresh set) or eval_broadcast "
+            "(reuse a previous udf's shipped set)"
+        )
+    ws = re.compile(r"\s+", re.ASCII)
+    if eval_broadcast is not None:
+        tagged = eval_broadcast.value
+        if not (
+            isinstance(tagged, tuple) and len(tagged) == 3 and tagged[0] == "md5"
+        ):
+            raise ValueError(
+                "eval_broadcast must be a handle returned as "
+                "udf.eval_broadcast by a previous contamination_trim_udf "
+                "(its value is tagged ('md5', n, hash_set)); a "
+                "contamination_flag_udf handle carries h32 longs, which a "
+                "destructive trim must never act on"
+            )
+        if tagged[1] != n:
+            raise ValueError(
+                f"eval_broadcast was built for n={tagged[1]} but this udf "
+                f"was asked for n={n}; grams of different widths never "
+                f"hash-match, so reusing it would silently trim nothing"
+            )
+        bc = eval_broadcast
+        hs_local = None
+    else:
+        bad = next((h for h in eval_hashes if not isinstance(h, str)), None)
+        if bad is not None:
+            raise ValueError(
+                "eval_hashes must contain full md5 hex digests (str) -- "
+                "build them with eval_gram_set(..., full_md5=True); got a "
+                f"{type(bad).__name__} (h32 longs are detection-only)"
+            )
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            bc = spark.sparkContext.broadcast(("md5", n, frozenset(eval_hashes)))
+            hs_local = None
+        else:
+            bc = None
+            hs_local = frozenset(eval_hashes)
+
+    def _trim(t: str | None, hs: frozenset) -> tuple[str, int, int]:
+        s = ws.sub(" ", (t or "").lower()).strip()
+        toks = s.split(" ")
+        covered = [False] * len(toks)
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i : i + n])
+            if hashlib.md5(g.encode("utf-8")).hexdigest() in hs:
+                covered[i : i + n] = [True] * n
+        kept = [tok for tok, c in zip(toks, covered) if not c]
+        return " ".join(kept), len(toks), len(toks) - len(kept)
+
+    @pandas_udf("trimmed_text string, n_tokens long, n_tokens_removed long")
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        hs = bc.value[2] if bc is not None else hs_local
+        return pd.DataFrame(
+            [_trim(t, hs) for t in texts],
+            columns=["trimmed_text", "n_tokens", "n_tokens_removed"],
+        )
+
     udf.eval_broadcast = bc
     return udf
 

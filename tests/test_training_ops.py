@@ -2267,3 +2267,67 @@ def test_contamination_coverage_agrees_with_brute_force(spark):
         for r in trim_contaminated_runs(docs, ev, n=n).collect()
     }
     assert got_trim == expect_trim
+
+
+def test_contamination_trim_udf_matches_batch(spark):
+    """The streaming trim UDF is bit-identical to trim_contaminated_runs
+    on the same rows -- including the small-vocab accidental-run geometry
+    (nested/overlapping spans), not just planted passages."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_trim_udf,
+        eval_gram_set,
+        trim_contaminated_runs,
+    )
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    n = 4
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(j, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12))))
+         for j in (100, 101)],
+        "doc_id long, text string",
+    )
+    batch = {
+        r.doc_id: (r.trimmed_text, r.n_tokens, r.n_tokens_removed)
+        for r in trim_contaminated_runs(docs, ev, n=n).collect()
+    }
+    udf = contamination_trim_udf(eval_gram_set(ev, n=n, full_md5=True), n=n)
+    got = {
+        r.doc_id: (r.t.trimmed_text, r.t.n_tokens, r.t.n_tokens_removed)
+        for r in docs.select("doc_id", udf("text").alias("t")).collect()
+    }
+    assert got == batch
+
+
+def test_contamination_trim_udf_guards(spark):
+    """Destructive-path guards: h32-long hash sets rejected; a flag-udf
+    broadcast handle (2-tuple, longs) rejected; an n-mismatched trim
+    handle rejected; a matching handle is reused as-is."""
+    import pytest
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_flag_udf,
+        contamination_trim_udf,
+    )
+
+    with pytest.raises(ValueError, match="full md5 hex digests"):
+        contamination_trim_udf({123456}, n=4)
+    with pytest.raises(ValueError, match="exactly one of"):
+        contamination_trim_udf(None, n=4, eval_broadcast=None)
+
+    flag = contamination_flag_udf({1, 2}, n=4)
+    with pytest.raises(ValueError, match="h32 longs"):
+        contamination_trim_udf(eval_broadcast=flag.eval_broadcast, n=4)
+
+    trim = contamination_trim_udf({"a" * 32}, n=4)
+    with pytest.raises(ValueError, match="built for n=4"):
+        contamination_trim_udf(eval_broadcast=trim.eval_broadcast, n=5)
+    reused = contamination_trim_udf(eval_broadcast=trim.eval_broadcast, n=4)
+    assert reused.eval_broadcast is trim.eval_broadcast

@@ -167,6 +167,24 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
     def cdc():
         return dd.cdc_chunk_stats(d, window=8, boundary_mod=64).count()
 
+    def decontam_coverage():
+        # same fixed 25-page eval set; semi-join cover intervals -- no
+        # self-join, no cap needed (a degenerate gram costs k rows)
+        from mariadb_to_graylog_spark.operators.decontam import (
+            contamination_coverage,
+        )
+
+        ev = d.filter(F.col("doc_id") < 25)
+        return contamination_coverage(d, ev, n=15).count()
+
+    def trim_contam():
+        from mariadb_to_graylog_spark.operators.decontam import (
+            trim_contaminated_runs,
+        )
+
+        ev = d.filter(F.col("doc_id") < 25)
+        return trim_contaminated_runs(d, ev, n=15).count()
+
     def domain_rep():
         return tx.domain_reputation(d).count()
 
@@ -178,6 +196,8 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("paragraph_dedup", paragraph_dedup),
         ("paragraph_near_stats", paragraph_near),
         ("decontaminate_extents", decontam_extents),
+        ("decontaminate_coverage", decontam_coverage),
+        ("trim_contaminated", trim_contam),
         ("cdc_chunk_stats", cdc),
         ("domain_reputation", domain_rep),
     ]:
@@ -455,6 +475,8 @@ def main() -> int:
         ("paragraph_dedup", "n_docs"),
         ("paragraph_near_stats", "n_docs"),
         ("decontaminate_extents", "n_docs"),
+        ("decontaminate_coverage", "n_docs"),
+        ("trim_contaminated", "n_docs"),
         ("cdc_chunk_stats", "n_docs"),
         ("domain_reputation", "n_docs"),
         ("embed_neardup_lsh", "n_vecs"),
