@@ -16,8 +16,13 @@ Streaming-specific shapes:
   (``contamination_flag_udf``) -- no explode, no aggregation, no shuffle,
   which is what lets the whole stream stay in append mode.
 * **Routing is a column**, and the file sink partitions by it --
-  kept / low_quality / contaminated land in separate directories with
-  exactly-once file-sink semantics.
+  kept / low_quality / contaminated (plus trimmed, in salvage mode) land
+  in separate directories with exactly-once file-sink semantics.
+* **Salvage mode** (``trim_hashes``): instead of dropping a contaminated
+  document whole, the eval-shared spans are excised row-locally
+  (``contamination_trim_udf`` -- still stateless, still append-mode) and
+  the residual re-enters the quality gate; survivors route to
+  ``trimmed`` with the excised text.
 """
 
 from __future__ import annotations
@@ -35,10 +40,57 @@ def _score_and_route(
     eval_hashes: set[int],
     quality_threshold: float,
     n: int,
+    trim_hashes: set[str] | None = None,
 ) -> DataFrame:
     """Shared post-dedup tail of both curation variants: quality score,
     contamination flag, decision ladder.  ONE definition so the bounded-
-    and unbounded-state paths can never silently diverge."""
+    and unbounded-state paths can never silently diverge.
+
+    With ``trim_hashes`` (full-md5 gram digests,
+    ``eval_gram_set(..., full_md5=True)``) the flow becomes
+    salvage-not-drop: ONE ``contamination_trim_udf`` pass replaces the
+    flag (contaminated <=> any token removed -- same membership, exact
+    128-bit identity since this path REWRITES text), quality is scored on
+    the SURVIVING text (identical to the raw score for clean docs --
+    the score only counts token/stopword/punct occurrences, which
+    normalization preserves), and a contaminated doc whose residual still
+    passes the gate routes to a new ``trimmed`` decision with its text
+    replaced by the trimmed stream; husks and low-residual docs stay
+    ``contaminated``.  Adds an ``n_tokens_removed`` accounting column;
+    without ``trim_hashes`` the schema is unchanged."""
+    if trim_hashes is not None:
+        from mariadb_to_graylog_spark.operators.decontam import (
+            contamination_trim_udf,
+        )
+
+        trim = contamination_trim_udf(trim_hashes, n)
+        salvage = (
+            F.col("_t.n_tokens_removed") < F.col("_t.n_tokens")
+        ) & (F.col("quality") >= quality_threshold)
+        return (
+            deduped.withColumn("_t", trim(F.col("text")))
+            .withColumn("contaminated", F.col("_t.n_tokens_removed") > 0)
+            .withColumn("quality", tx.quality_score(F.col("_t.trimmed_text")))
+            .withColumn(
+                "decision",
+                F.when(
+                    ~F.col("contaminated"),
+                    F.when(F.col("quality") >= quality_threshold, "kept").otherwise(
+                        "low_quality"
+                    ),
+                )
+                .when(salvage, "trimmed")
+                .otherwise("contaminated"),
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("decision") == "trimmed", F.col("_t.trimmed_text")
+                ).otherwise(F.col("text")),
+            )
+            .withColumn("n_tokens_removed", F.col("_t.n_tokens_removed"))
+            .drop("_t", "_h")
+        )
     flag = contamination_flag_udf(eval_hashes, n)
     return (
         deduped.withColumn("quality", tx.quality_score(F.col("text")))
@@ -58,12 +110,15 @@ def curate(
     eval_hashes: set[int],
     quality_threshold: float = 0.5,
     n: int = 13,
+    trim_hashes: set[str] | None = None,
 ) -> DataFrame:
     """The per-row curation transform (works on batch AND streaming
     DataFrames -- the batch-equivalence test runs it both ways):
-    dedup on md5(text), score, flag, decide."""
+    dedup on md5(text), score, flag, decide.  ``trim_hashes`` switches
+    the contamination gate to salvage-not-drop (see
+    ``_score_and_route``)."""
     deduped = docs.withColumn("_h", F.md5("text")).dropDuplicates(["_h"])
-    return _score_and_route(deduped, eval_hashes, quality_threshold, n)
+    return _score_and_route(deduped, eval_hashes, quality_threshold, n, trim_hashes)
 
 
 def curate_watermarked(
@@ -73,6 +128,7 @@ def curate_watermarked(
     n: int = 13,
     event_time_col: str = "ts",
     delay: str = "10 minutes",
+    trim_hashes: set[str] | None = None,
 ) -> DataFrame:
     """``curate`` with BOUNDED dedup state: ``dropDuplicatesWithinWatermark``
     on the md5 text key evicts a document's dedup record once the
@@ -91,7 +147,7 @@ def curate_watermarked(
         .withColumn("_h", F.md5("text"))
         .dropDuplicatesWithinWatermark(["_h"])
     )
-    return _score_and_route(deduped, eval_hashes, quality_threshold, n)
+    return _score_and_route(deduped, eval_hashes, quality_threshold, n, trim_hashes)
 
 
 def start_curation_stream(
@@ -102,8 +158,9 @@ def start_curation_stream(
     quality_threshold: float = 0.5,
     trigger_ms: int = 1000,
     n: int = 13,
+    trim_hashes: set[str] | None = None,
 ) -> StreamingQuery:
-    routed = curate(docs_stream, eval_hashes, quality_threshold, n)
+    routed = curate(docs_stream, eval_hashes, quality_threshold, n, trim_hashes)
     return (
         routed.writeStream.format("parquet")
         .option("path", out_base)

@@ -194,3 +194,101 @@ def test_watermarked_curation_bounds_state_and_readmits_out_of_window(
     ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     # 2 dropped (in-window dup), 4 re-admitted (out-of-window dup)
     assert ids == [1, 3, 4]
+
+
+def test_curate_trim_mode_salvages_contaminated_docs(spark):
+    """Salvage mode (trim_hashes): a contaminated-but-mostly-clean doc
+    routes to 'trimmed' with the eval span excised; a pure-eval husk
+    stays 'contaminated'; clean docs keep their RAW text and decisions;
+    n_tokens_removed matches the batch trim operator row-for-row."""
+    from mariadb_to_graylog_spark.operators.decontam import (
+        trim_contaminated_runs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, GOOD + " first"),
+            (2, "short junk!!!"),
+            (3, GOOD + " " + EVAL_ITEM + " tail"),
+            (4, EVAL_ITEM),  # pure eval -> husk
+        ],
+        DOC_SCHEMA,
+    )
+    ev = spark.createDataFrame([(EVAL_ITEM,)], "text string")
+    trim_hashes = eval_gram_set(ev, n=13, full_md5=True)
+    got = {r.doc_id: r for r in curate(docs, set(), trim_hashes=trim_hashes).collect()}
+
+    assert got[1].decision == "kept"
+    assert got[1].text == GOOD + " first"  # raw text untouched
+    assert got[1].n_tokens_removed == 0 and not got[1].contaminated
+    assert got[2].decision == "low_quality"
+    assert got[3].decision == "trimmed" and got[3].contaminated
+    assert EVAL_ITEM not in got[3].text
+    assert got[3].text.startswith(GOOD.split()[0])  # normalized survivors
+    assert got[4].decision == "contaminated"
+    assert got[4].n_tokens_removed > 0
+
+    batch = {
+        r.doc_id: (r.trimmed_text, r.n_tokens_removed)
+        for r in trim_contaminated_runs(docs, ev.select(
+            F.lit(0).alias("doc_id"), "text"), n=13).collect()
+    }
+    for k, row in got.items():
+        assert row.n_tokens_removed == batch[k][1]
+        if row.decision == "trimmed":
+            assert row.text == batch[k][0]
+
+
+def test_streaming_curation_trim_mode_partitions(spark, tmp_path):
+    """The trim lane works under a real stream: the 'trimmed' partition
+    appears, rows match the batch twin, and clean docs are untouched."""
+    import time as _t
+
+    ev = spark.createDataFrame([(EVAL_ITEM,)], "text string")
+    trim_hashes = eval_gram_set(ev, n=13, full_md5=True)
+    docs = [
+        (1, GOOD + " first"),
+        (3, GOOD + " " + EVAL_ITEM + " tail"),
+        (4, EVAL_ITEM),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(docs, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = start_curation_stream(
+        stream,
+        out,
+        str(tmp_path / "ck"),
+        set(),
+        trigger_ms=200,
+        trim_hashes=trim_hashes,
+    )
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if q.exception() is not None:
+            raise AssertionError(q.exception())
+        try:
+            if spark.read.parquet(out).count() >= 3:
+                break
+        except Exception:
+            pass
+        _t.sleep(1)
+    q.stop()
+    got = {
+        r.doc_id: (r.decision, r.n_tokens_removed)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.doc_id: (r.decision, r.n_tokens_removed)
+        for r in curate(
+            spark.createDataFrame(docs, DOC_SCHEMA), set(), trim_hashes=trim_hashes
+        ).collect()
+    }
+    assert got == batch
+    assert got[3][0] == "trimmed" and got[4][0] == "contaminated"
