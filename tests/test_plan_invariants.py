@@ -31,3 +31,16 @@ def test_no_quadratic_join_operators_in_plan(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in BNLJ_BY_DESIGN:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontam_coverage_semi_join_is_broadcast(spark):
+    """The vs-eval-set coverage/trim family must probe the eval hash set
+    via a BROADCAST LeftSemi join (documents never shuffle on the gram
+    key) -- the 100 TB-critical shape of the r6 semi-join cover path."""
+    import re
+
+    for name in ("decontaminate_coverage", "trim_contaminated"):
+        df = eq.ALL_QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), name
+        assert not re.search(r"SortMergeJoin .*LeftSemi", plan), name
