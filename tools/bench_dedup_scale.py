@@ -530,6 +530,17 @@ def main() -> int:
         "overlaps drop out -- wall time, not output, is the scaling "
         "signal there.",
         "",
+        "**Round-6 operators** on the same page corpus: "
+        "decontaminate_coverage / trim_contaminated (the vs-eval-set "
+        "semi-join cover path: doc positioned grams LeftSemi-probe the "
+        "broadcast distinct eval-hash set, interval union / HOF trim per "
+        "doc -- no position self-join, no occurrence cap).  Against a "
+        "FIXED 25-page eval set the matched mass is bounded by the eval "
+        "side, so 4x docs costs ~1x wall (still overhead-dominated at "
+        "this scale); the doc-side gram projection is the only term that "
+        "grows, linearly.  Result rows grow exactly 4x (every doc "
+        "reports).",
+        "",
         "**The groups path measures the PRODUCTION shape** (r2 verdict "
         "asks #1-#2, closed in round 3): LSH candidates -> exact-Jaccard "
         "VERIFY -> connected components (message-union formulation, "
