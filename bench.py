@@ -146,6 +146,7 @@ QUERY_NAMES = [
     "paragraph_near_stats",
     "decontaminate_extents",
     "decontaminate_coverage",
+    "decontaminate_coverage_bucketed",
     "trim_contaminated",
     "token_rarity",
     "cdc_chunk_stats",

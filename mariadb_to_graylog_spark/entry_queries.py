@@ -2867,6 +2867,26 @@ FROM tok LEFT JOIN cov ON cov.id = tok.doc_id
 )
 
 
+def q_decontaminate_coverage_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus contamination coverage: same semantics and oracle
+    as ``decontaminate_coverage`` but the reference gram set stays
+    DISTRIBUTED (``pin_broadcast=False`` -- no driver collect, no
+    broadcast pin; the semi-join shuffles both sides on the gram hash and
+    AQE picks the strategy) -- the shard-vs-shard trim-vs-drop metric at
+    100 TB, mirroring ``decontaminate_bucketed``'s relationship to
+    ``decontaminate``."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_coverage
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    return contamination_coverage(d, eval_df, n=13, pin_broadcast=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "contaminated_tokens",
+        "contamination",
+    )
+
+
 def q_trim_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical decontamination: every >= 13-token span shared with the
     leaked eval slice is removed, so mostly-clean documents survive
@@ -3257,6 +3277,7 @@ TRAINING_QUERIES = {
     "decontaminate_bucketed": q_decontaminate_bucketed,
     "decontaminate_extents": q_decontaminate_extents,
     "decontaminate_coverage": q_decontaminate_coverage,
+    "decontaminate_coverage_bucketed": q_decontaminate_coverage_bucketed,
     "trim_contaminated": q_trim_contaminated,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
@@ -3312,6 +3333,7 @@ TRAINING_ORACLES = {
     "decontaminate_bucketed": ORACLE_DECONTAMINATE,
     "decontaminate_extents": ORACLE_DECONTAMINATE_EXTENTS,
     "decontaminate_coverage": ORACLE_DECONTAMINATE_COVERAGE,
+    "decontaminate_coverage_bucketed": ORACLE_DECONTAMINATE_COVERAGE,
     "trim_contaminated": ORACLE_TRIM_CONTAMINATED,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
@@ -3338,6 +3360,7 @@ _DRIVER_PRIORITY = [
     "crosslingual_near_dup",
     "quality_threshold_sweep",
     "decontaminate_coverage",
+    "decontaminate_coverage_bucketed",
     "trim_contaminated",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)

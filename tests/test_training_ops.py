@@ -2331,3 +2331,31 @@ def test_contamination_trim_udf_guards(spark):
         contamination_trim_udf(eval_broadcast=trim.eval_broadcast, n=5)
     reused = contamination_trim_udf(eval_broadcast=trim.eval_broadcast, n=4)
     assert reused.eval_broadcast is trim.eval_broadcast
+
+
+def test_contamination_coverage_bucketed_equals_broadcast(spark):
+    """pin_broadcast=False (distributed gram semi-join -- the
+    shard-vs-shard 100 TB path with no driver collect and no broadcast
+    pin) returns IDENTICAL rows to the broadcast default."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.decontam import contamination_coverage
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(j, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10))))
+         for j in (100, 101)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in contamination_coverage(docs, ev, n=4).collect())
+    b = sorted(
+        tuple(r)
+        for r in contamination_coverage(docs, ev, n=4, pin_broadcast=False).collect()
+    )
+    assert a == b
