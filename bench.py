@@ -148,6 +148,9 @@ QUERY_NAMES = [
     "decontaminate_coverage",
     "decontaminate_coverage_bucketed",
     "trim_contaminated",
+    "trim_loss_by_source",
+    "novelty_by_batch",
+    "dedup_rate_sampled",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",

@@ -2903,7 +2903,9 @@ def q_trim_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TRIM_CONTAMINATED = (
+# _DECONTAM_COVER_CTES extended through the kept-token filter (CTE ``k``):
+# shared by the per-doc trim oracle and the per-source loss rollup.
+_TRIM_KEPT_CTES = (
     _DECONTAM_COVER_CTES
     + """,
 iv AS (
@@ -2920,7 +2922,13 @@ k AS (
            len(list_filter(ivs, v -> (i - 1) >= v.ms AND (i - 1) <= v.me)) = 0
          ) AS kept
   FROM j
+)"""
 )
+
+
+ORACLE_TRIM_CONTAMINATED = (
+    _TRIM_KEPT_CTES
+    + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        coalesce(array_to_string(kept, ' '), '') AS trimmed_text,
        CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -2928,6 +2936,141 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM k
 """
 )
+
+
+def q_trim_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of what surgical decontamination costs: for
+    each ingest source, documents touched, tokens before/removed, docs
+    husked to nothing, and the removed fraction -- the table a source-
+    weighting decision reads after a trim pass (a source losing half its
+    tokens to eval overlap is an eval-set mirror, not training data).
+
+    Composition check: ``trim_contaminated_runs`` -> join back to the
+    source dimension -> exact-integer rollup.  ``trimmed_text`` is
+    projected AWAY before the join, so only (id, two longs) tuples ever
+    shuffle -- document text moves zero times after the trim's own
+    interval join-back."""
+    from mariadb_to_graylog_spark.operators.decontam import trim_contaminated_runs
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    t = trim_contaminated_runs(d, eval_df, n=13).select(
+        "doc_id", "n_tokens", "n_tokens_removed"
+    )
+    return (
+        t.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
+            F.sum(
+                (F.col("n_tokens_removed") == F.col("n_tokens")).cast("long")
+            )
+            .cast("long")
+            .alias("docs_husked"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.round(F.col("tokens_removed") / F.col("tokens_before"), 6),
+        )
+    )
+
+
+ORACLE_TRIM_LOSS_BY_SOURCE = (
+    _TRIM_KEPT_CTES
+    + """
+SELECT d.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS tokens_before,
+       CAST(sum(len(toks) - len(kept)) AS BIGINT) AS tokens_removed,
+       CAST(sum(CASE WHEN len(kept) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_husked,
+       round(sum(len(toks) - len(kept))::DOUBLE / sum(len(toks)), 6)
+         AS removed_frac
+FROM k JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+)
+
+
+def q_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty trend: the documents table split into 8
+    deterministic ingest batches (``doc_id % 8`` -- stand-in for crawl
+    day/wave; the sandbox corpus has no ingest timestamp), per batch the
+    fraction of its distinct 8-gram hashes unseen in every earlier
+    batch.  Batch 0 is 100% novel by construction; later batches decay
+    toward the generator's template-repetition floor."""
+    d = _documents(spark, sf_dir)
+    batched = d.select((F.col("doc_id") % 8).alias("batch"), "text")
+    return dd.gram_novelty_trend(batched, batch_col="batch", text_col="text", n=8)
+
+
+ORACLE_NOVELTY_BY_BATCH = """
+WITH s AS (
+  SELECT doc_id % 8 AS batch,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT batch, h FROM (
+    SELECT batch, unnest(list_distinct(list_transform(
+      range(1, greatest(len(str_split(s, ' ')) - 7, 0) + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(
+             list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 7),
+             ' ')), 1, 8) AS BIGINT)))) AS h
+    FROM s)
+),
+tot AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY batch),
+fb AS (SELECT h, min(batch) AS batch FROM g GROUP BY h),
+nov AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_novel FROM fb GROUP BY batch)
+SELECT CAST(tot.batch AS BIGINT) AS batch, n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(n_novel, 0)::DOUBLE / n_grams, 6) AS novelty
+FROM tot LEFT JOIN nov ON nov.batch = tot.batch
+"""
+
+
+def q_dedup_rate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight dup-rate estimate: exact 8-gram occurrence count
+    (pure arithmetic, no shuffle) vs distinct grams extrapolated from a
+    deterministic 16-of-256 hash-bucket sample -- only 1/16 of the gram
+    stream shuffles, the shape that makes "should we pay for the full
+    dedup pass" answerable at 100 TB."""
+    d = _documents(spark, sf_dir)
+    return dd.sampled_dedup_rate(d, n=8, buckets=256, sample_buckets=16)
+
+
+ORACLE_DEDUP_RATE_SAMPLED = """
+WITH s AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents
+),
+t AS (SELECT str_split(s, ' ') AS toks FROM s),
+occ AS (
+  SELECT CAST(coalesce(sum(greatest(len(toks) - 7, 0)), 0) AS BIGINT)
+           AS n_gram_occurrences
+  FROM t
+),
+g AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 7, 0) + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(
+             list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 7),
+             ' ')), 1, 8) AS BIGINT)))) AS h
+    FROM t)
+  WHERE h % 256 < 16
+),
+samp AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_distinct FROM g)
+SELECT n_gram_occurrences, n_sampled_distinct,
+       CAST(n_sampled_distinct * 16 AS BIGINT) AS est_distinct_grams,
+       CASE WHEN n_gram_occurrences > 0
+            THEN round(1 - (n_sampled_distinct * 16)::DOUBLE
+                           / n_gram_occurrences, 6)
+       END AS dup_rate_est
+FROM occ, samp
+"""
 
 
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3279,6 +3422,9 @@ TRAINING_QUERIES = {
     "decontaminate_coverage": q_decontaminate_coverage,
     "decontaminate_coverage_bucketed": q_decontaminate_coverage_bucketed,
     "trim_contaminated": q_trim_contaminated,
+    "trim_loss_by_source": q_trim_loss_by_source,
+    "novelty_by_batch": q_novelty_by_batch,
+    "dedup_rate_sampled": q_dedup_rate_sampled,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -3335,6 +3481,9 @@ TRAINING_ORACLES = {
     "decontaminate_coverage": ORACLE_DECONTAMINATE_COVERAGE,
     "decontaminate_coverage_bucketed": ORACLE_DECONTAMINATE_COVERAGE,
     "trim_contaminated": ORACLE_TRIM_CONTAMINATED,
+    "trim_loss_by_source": ORACLE_TRIM_LOSS_BY_SOURCE,
+    "novelty_by_batch": ORACLE_NOVELTY_BY_BATCH,
+    "dedup_rate_sampled": ORACLE_DEDUP_RATE_SAMPLED,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -3362,6 +3511,9 @@ _DRIVER_PRIORITY = [
     "decontaminate_coverage",
     "decontaminate_coverage_bucketed",
     "trim_contaminated",
+    "trim_loss_by_source",
+    "novelty_by_batch",
+    "dedup_rate_sampled",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

@@ -567,6 +567,121 @@ def ngram_bucket_stats(
     )
 
 
+def gram_novelty_trend(
+    df: DataFrame,
+    batch_col: str = "batch",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(batch, n_grams, n_novel, novelty): per-ingest-batch fraction of
+    distinct ``n``-gram hashes never seen in any EARLIER batch -- the
+    corpus-growth health trend a crawl pipeline watches (novelty decaying
+    toward 0 means new ingest is re-crawling what the corpus already
+    holds, so marginal data buys no marginal tokens; a sudden spike means
+    a genuinely new source came online).  ``batch`` is any ordered ingest
+    key (day, crawl id, shard wave); batches with at least one gram each
+    get a row.
+
+    Scale shape: grams collapse to DISTINCT (batch, hash) map-side
+    before anything moves (one shuffle, bounded by batches x distinct
+    grams); first-seen batch is a ``min`` aggregate per hash (second
+    shuffle, partial-agg'd); both per-batch rollups are tiny and the
+    final join broadcasts.  Detection-only metric, so grams keep the
+    cheap h32 (the destructive-op full-md5 policy on
+    ``decontam.word_ngram_pos_hashes`` does not apply)."""
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    u = df.select(
+        F.col(batch_col).alias("batch"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+    ).distinct()
+    totals = u.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        u.groupBy("h")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return totals.join(F.broadcast(novel), "batch", "left").select(
+        "batch",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_grams"), 6
+        ).alias("novelty"),
+    )
+
+
+def sampled_dedup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    buckets: int = 256,
+    sample_buckets: int = 16,
+) -> DataFrame:
+    """One-row corpus dup-rate estimate from a deterministic hash-bucket
+    SAMPLE of the gram space: total ``n``-gram occurrences (exact -- pure
+    per-doc arithmetic, no gram ever moves) vs distinct grams estimated
+    by counting only grams whose h32 falls in ``sample_buckets`` of
+    ``buckets`` hash buckets and scaling up.  ``dup_rate_est = 1 -
+    est_distinct / occurrences`` is the headline "how much would exact
+    dedup save" number a curation run consults BEFORE paying for the
+    full distinct pass: only ``sample_buckets/buckets`` of the gram
+    stream shuffles (1/16 at the defaults), and because the sample is a
+    hash partition of the key space -- not a row sample -- every
+    occurrence of a sampled gram is in or out together, so the
+    per-bucket distinct count is exact and the only error is
+    between-bucket variance.  ``sample_buckets = buckets`` degrades to
+    the exact distinct count (tested).  h32 collisions bias the estimate
+    low by ~D/2^32 -- detection-only, per the hash policy.
+
+    Single scan, no join: per-doc occurrence counts ride the gram
+    explosion (counted once per doc via the pos-0/outer-null row), and
+    the global aggregate is one partial-agg'd reduction."""
+    if not 1 <= sample_buckets <= buckets:
+        raise ValueError(
+            f"sample_buckets must be in [1, buckets]; got "
+            f"{sample_buckets}/{buckets}"
+        )
+    if buckets % sample_buckets != 0:
+        raise ValueError(
+            "buckets must be a multiple of sample_buckets for an integer "
+            f"scale-up; got {buckets}/{sample_buckets}"
+        )
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    scale = buckets // sample_buckets
+    occ = F.greatest(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")) - (n - 1),
+        F.lit(0),
+    ).cast("long")
+    sampled = F.filter(
+        word_ngram_hashes(F.col(text_col), n),
+        lambda h: h % buckets < sample_buckets,
+    )
+    ex = df.select(occ.alias("occ"), F.posexplode_outer(sampled).alias("pos", "h"))
+    first_row_of_doc = F.col("pos").isNull() | (F.col("pos") == 0)
+    out = ex.agg(
+        F.coalesce(F.sum(F.when(first_row_of_doc, F.col("occ"))), F.lit(0))
+        .cast("long")
+        .alias("n_gram_occurrences"),
+        F.count_distinct(F.col("h")).cast("long").alias("n_sampled_distinct"),
+    )
+    est = (F.col("n_sampled_distinct") * scale).cast("long")
+    return out.select(
+        "n_gram_occurrences",
+        "n_sampled_distinct",
+        est.alias("est_distinct_grams"),
+        F.when(
+            F.col("n_gram_occurrences") > 0,
+            F.round(F.lit(1) - est / F.col("n_gram_occurrences"), 6),
+        ).alias("dup_rate_est"),
+    )
+
+
 def diagonal_run_islands(
     matched: DataFrame, key_cols: list[str], n: int
 ) -> DataFrame:

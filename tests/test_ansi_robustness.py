@@ -113,7 +113,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # vs-eval-set coverage/trim (semi-join cover intervals)
      "crosslingual_near_dup", "quality_threshold_sweep",
      "decontaminate_coverage", "trim_contaminated",
-     "decontaminate_coverage_bucketed", "curation_trim_pipeline"],
+     "decontaminate_coverage_bucketed", "curation_trim_pipeline",
+     "trim_loss_by_source", "novelty_by_batch", "dedup_rate_sampled"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -2359,3 +2359,126 @@ def test_contamination_coverage_bucketed_equals_broadcast(spark):
         for r in contamination_coverage(docs, ev, n=4, pin_broadcast=False).collect()
     )
     assert a == b
+
+
+def test_gram_novelty_trend_planted(spark):
+    """Batch 0 is fully novel; a batch-1 doc REPEATING batch-0 text
+    contributes zero novel grams; a batch-1 doc with fresh text is
+    counted novel; a batch with nothing but short (gram-less) docs gets
+    no row."""
+    from mariadb_to_graylog_spark.operators.dedup import gram_novelty_trend
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, base),
+        (1, base),          # verbatim re-crawl: nothing novel
+        (1, fresh),         # genuinely new source
+        (2, "too short"),   # no 8-gram window -> batch 2 absent
+    ]
+    df = spark.createDataFrame(rows, "batch int, text string")
+    out = {r["batch"]: r for r in gram_novelty_trend(df, n=8).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_novel"] == out[0]["n_grams"] == 3  # 10 toks -> 3 grams
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["n_grams"] == 6  # 3 repeated + 3 fresh distinct grams
+    assert out[1]["n_novel"] == 3  # only the fresh doc's grams
+    assert out[1]["novelty"] == 0.5
+
+
+def test_sampled_dedup_rate_full_sample_is_exact(spark):
+    """sample_buckets == buckets degrades to the EXACT distinct count,
+    and occurrences are the exact arithmetic total."""
+    from mariadb_to_graylog_spark.operators.dedup import sampled_dedup_rate
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    row = sampled_dedup_rate(docs, n=4, buckets=8, sample_buckets=8).collect()[0]
+    exact_distinct = (
+        docs.select(F.explode(word_ngram_hashes(F.col("text"), 4)).alias("h"))
+        .select("h").distinct().count()
+    )
+    exact_occ = sum(
+        max(len(r.text.split(" ")) - 3, 0) for r in docs.collect()
+    )
+    assert row["n_gram_occurrences"] == exact_occ
+    assert row["est_distinct_grams"] == exact_distinct
+    assert row["dup_rate_est"] == round(1 - exact_distinct / exact_occ, 6)
+
+
+def test_sampled_dedup_rate_sampling_and_guards(spark):
+    """A 1-of-4 sample is deterministic across runs, only counts grams in
+    the sampled hash buckets, and the argument guards raise."""
+    from mariadb_to_graylog_spark.operators.dedup import sampled_dedup_rate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z q r s t u v") for i in range(25)],
+        "doc_id long, text string",
+    )
+    a = sampled_dedup_rate(docs, n=4, buckets=4, sample_buckets=1).collect()[0]
+    b = sampled_dedup_rate(docs, n=4, buckets=4, sample_buckets=1).collect()[0]
+    assert tuple(a) == tuple(b)
+    full = sampled_dedup_rate(docs, n=4, buckets=4, sample_buckets=4).collect()[0]
+    assert a["n_sampled_distinct"] <= full["n_sampled_distinct"]
+    assert a["est_distinct_grams"] == a["n_sampled_distinct"] * 4
+    with pytest.raises(ValueError, match="sample_buckets"):
+        sampled_dedup_rate(docs, sample_buckets=0)
+    with pytest.raises(ValueError, match="multiple"):
+        sampled_dedup_rate(docs, buckets=10, sample_buckets=3)
+
+
+def test_sampled_dedup_rate_empty_corpus(spark):
+    """Gram-less corpus: zero occurrences, NULL dup-rate (not a crash or
+    a divide-by-zero under ANSI)."""
+    from mariadb_to_graylog_spark.operators.dedup import sampled_dedup_rate
+
+    docs = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    row = sampled_dedup_rate(docs, n=8).collect()[0]
+    assert row["n_gram_occurrences"] == 0
+    assert row["est_distinct_grams"] == 0
+    assert row["dup_rate_est"] is None
+
+
+def test_extents_coverage_consistency(spark):
+    """Cross-operator invariant: the per-doc interval UNION of
+    contamination_extents' per-alignment runs must equal
+    contamination_coverage's contaminated_tokens on every doc -- the two
+    views of the same gram matches may never disagree."""
+    import random
+
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_coverage,
+        contamination_extents,
+    )
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(j, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12))))
+         for j in (900, 901)],
+        "doc_id long, text string",
+    )
+    cov = {
+        r["doc_id"]: r["contaminated_tokens"]
+        for r in contamination_coverage(docs, ev, n=4).collect()
+    }
+    spans = {}
+    for r in contamination_extents(docs, ev, n=4).collect():
+        spans.setdefault(r["doc_id"], set()).update(
+            range(r["doc_start"], r["doc_end"] + 1)
+        )
+    for doc_id, covered in cov.items():
+        assert covered == len(spans.get(doc_id, set())), doc_id
