@@ -185,6 +185,36 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ev = d.filter(F.col("doc_id") < 25)
         return trim_contaminated_runs(d, ev, n=15).count()
 
+    def decontam_coverage_ev1k():
+        # 40x larger (still FIXED) eval set: probes whether coverage cost
+        # depends on eval size at all -- measured answer: no (wall
+        # unchanged vs the 25-page rows; the probe side is a hashed
+        # broadcast set, so only the per-doc union window grows)
+        from mariadb_to_graylog_spark.operators.decontam import (
+            contamination_coverage,
+        )
+
+        ev = d.filter(F.col("doc_id") < 1000)
+        return contamination_coverage(d, ev, n=15).count()
+
+    def trim_contam_ev1k():
+        from mariadb_to_graylog_spark.operators.decontam import (
+            trim_contaminated_runs,
+        )
+
+        ev = d.filter(F.col("doc_id") < 1000)
+        return trim_contaminated_runs(d, ev, n=15).count()
+
+    def novelty():
+        # 8 deterministic ingest batches; distinct (batch, hash) collapse
+        # keeps the shuffle bounded by batches x vocab
+        batched = d.select((F.col("doc_id") % 8).alias("batch"), "text")
+        return dd.gram_novelty_trend(batched, n=15).count()
+
+    def sampled_rate():
+        # 1/16 of the gram stream shuffles; single scan, join-free
+        return dd.sampled_dedup_rate(d, n=15).count()
+
     def domain_rep():
         return tx.domain_reputation(d).count()
 
@@ -198,6 +228,10 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("decontaminate_extents", decontam_extents),
         ("decontaminate_coverage", decontam_coverage),
         ("trim_contaminated", trim_contam),
+        ("decontaminate_coverage_ev1k", decontam_coverage_ev1k),
+        ("trim_contaminated_ev1k", trim_contam_ev1k),
+        ("novelty_by_batch", novelty),
+        ("dedup_rate_sampled", sampled_rate),
         ("cdc_chunk_stats", cdc),
         ("domain_reputation", domain_rep),
     ]:
@@ -477,6 +511,10 @@ def main() -> int:
         ("decontaminate_extents", "n_docs"),
         ("decontaminate_coverage", "n_docs"),
         ("trim_contaminated", "n_docs"),
+        ("decontaminate_coverage_ev1k", "n_docs"),
+        ("trim_contaminated_ev1k", "n_docs"),
+        ("novelty_by_batch", "n_docs"),
+        ("dedup_rate_sampled", "n_docs"),
         ("cdc_chunk_stats", "n_docs"),
         ("domain_reputation", "n_docs"),
         ("embed_neardup_lsh", "n_vecs"),
@@ -539,7 +577,18 @@ def main() -> int:
         "side, so 4x docs costs ~1x wall (still overhead-dominated at "
         "this scale); the doc-side gram projection is the only term that "
         "grows, linearly.  Result rows grow exactly 4x (every doc "
-        "reports).",
+        "reports).  The `_ev1k` rows re-run the same pair against a "
+        "40x-larger (still fixed) 1,000-page eval set: wall is "
+        "UNCHANGED (~1s at both eval sizes and both doc counts) -- "
+        "measured evidence that the semi-join cover path's cost is "
+        "insensitive to eval-set size by design (the probe side is a "
+        "hashed broadcast set; a bigger eval only adds rows to the "
+        "tiny per-doc union window), so the doc-side gram scan is the "
+        "sole growing term.  novelty_by_batch "
+        "(distinct (batch, hash) collapse -> min-batch agg) and "
+        "dedup_rate_sampled (1/16 hash-bucket sample of the gram stream, "
+        "single scan) are the corpus-health passes: both shuffle a "
+        "bounded fraction of the gram volume, so ~linear.",
         "",
         "**The groups path measures the PRODUCTION shape** (r2 verdict "
         "asks #1-#2, closed in round 3): LSH candidates -> exact-Jaccard "
