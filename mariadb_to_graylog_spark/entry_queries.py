@@ -3066,8 +3066,8 @@ samp AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_distinct FROM g)
 SELECT n_gram_occurrences, n_sampled_distinct,
        CAST(n_sampled_distinct * 16 AS BIGINT) AS est_distinct_grams,
        CASE WHEN n_gram_occurrences > 0
-            THEN round(1 - (n_sampled_distinct * 16)::DOUBLE
-                           / n_gram_occurrences, 6)
+            THEN greatest(round(1 - (n_sampled_distinct * 16)::DOUBLE
+                                    / n_gram_occurrences, 6), 0)
        END AS dup_rate_est
 FROM occ, samp
 """

@@ -85,7 +85,7 @@ def eval_gram_set(
     eval_df: DataFrame,
     text_col: str = "text",
     n: int = 13,
-    max_hashes: int = 50_000_000,
+    max_hashes: int | None = None,
     full_md5: bool = False,
 ) -> set[int] | set[str]:
     """Driver-side distinct gram-hash set of the eval corpus -- small by
@@ -95,14 +95,19 @@ def eval_gram_set(
     The contract is ENFORCED, not just documented: the distinct-hash
     count is checked (one cheap pre-aggregated job) before anything is
     pulled to the driver, so passing a corpus-sized DataFrame fails fast
-    with a clear message instead of silently OOMing the driver.  50M
-    hashes ~ 400 MB of longs -- a generous eval-suite ceiling, far below
-    driver limits.
+    with a clear message instead of silently OOMing the driver.  The
+    default ceiling is SIZED TO THE HASH WIDTH: 50M for h32 longs
+    (~400 MB of longs) but 6M for ``full_md5`` (32-char hex strings cost
+    ~100 bytes each in a Python set -- the same ceiling in longs would
+    OOM the driver exactly the way this guard exists to prevent).  Pass
+    ``max_hashes`` explicitly to override either.
 
     ``full_md5=True`` returns 32-char hex digests instead of h32 longs --
     required for DESTRUCTIVE consumers (``contamination_trim_udf``),
     which must never act on a 32-bit collision; detection-only consumers
     (``contamination_flag_udf``) keep the cheap longs."""
+    if max_hashes is None:
+        max_hashes = 6_000_000 if full_md5 else 50_000_000
     if full_md5:
         gram_col = word_ngram_pos_hashes(F.col(text_col), n, F.md5, "string")
         distinct_h = (

@@ -122,6 +122,13 @@ def minhash_signatures(
     ``minhash_signatures_hof`` (tested): min over duplicates equals min
     over distinct shingles, so the distinct step drops out entirely.
 
+    Ids must be UNIQUE (one row per id) -- the module-wide caller
+    contract.  On duplicate-id input the two engines diverge loudly
+    differently: this groupBy collapses the rows into ONE signature over
+    the union of their shingles, while the HOF twin emits one signature
+    per row; neither is a meaningful MinHash of anything, so deduplicate
+    ids (or re-key) before calling.
+
     Why not the HOF shape: interpreted lambda passes (num_hashes per
     unit, no codegen, no CSE) were the measured hotspot of every LSH
     chain, and worse, a broadcast self-join RE-COMPUTES them per side
@@ -677,7 +684,14 @@ def sampled_dedup_rate(
         est.alias("est_distinct_grams"),
         F.when(
             F.col("n_gram_occurrences") > 0,
-            F.round(F.lit(1) - est / F.col("n_gram_occurrences"), 6),
+            # clamped at 0: between-bucket variance can push the scaled
+            # estimate above the exact occurrence total on low-dup
+            # corpora, and a NEGATIVE "savings" number would poison the
+            # decision this metric feeds
+            F.greatest(
+                F.round(F.lit(1) - est / F.col("n_gram_occurrences"), 6),
+                F.lit(0.0),
+            ),
         ).alias("dup_rate_est"),
     )
 

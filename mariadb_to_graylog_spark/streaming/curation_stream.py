@@ -40,15 +40,15 @@ def _score_and_route(
     eval_hashes: set[int],
     quality_threshold: float,
     n: int,
-    trim_hashes: set[str] | None = None,
+    trim_hashes: "set[str] | Broadcast | None" = None,
 ) -> DataFrame:
     """Shared post-dedup tail of both curation variants: quality score,
     contamination flag, decision ladder.  ONE definition so the bounded-
     and unbounded-state paths can never silently diverge.
 
     With ``trim_hashes`` (full-md5 gram digests,
-    ``eval_gram_set(..., full_md5=True)``) the flow becomes
-    salvage-not-drop: ONE ``contamination_trim_udf`` pass replaces the
+    ``eval_gram_set(..., full_md5=True)``, OR a ``Broadcast`` handle --
+    see below) the flow becomes salvage-not-drop: ONE ``contamination_trim_udf`` pass replaces the
     flag (contaminated <=> any token removed -- same membership, exact
     128-bit identity since this path REWRITES text), quality is scored on
     the SURVIVING text (identical to the raw score for clean docs --
@@ -57,13 +57,33 @@ def _score_and_route(
     passes the gate routes to a new ``trimmed`` decision with its text
     replaced by the trimmed stream; husks and low-residual docs stay
     ``contaminated``.  Adds an ``n_tokens_removed`` accounting column;
-    without ``trim_hashes`` the schema is unchanged."""
+    without ``trim_hashes`` the schema is unchanged.
+
+    Long-lived drivers that rebuild the plan (stream restarts,
+    re-curated batches) should NOT pass the raw set every time -- each
+    build would re-broadcast the full-md5 set and leak it for the
+    application lifetime (``contamination_trim_udf``'s documented
+    lifecycle).  Instead build the udf once, keep its handle, and pass
+    the handle as ``trim_hashes``::
+
+        u = contamination_trim_udf(hashes, n)      # ships the set once
+        curate(docs, ..., trim_hashes=u.eval_broadcast)   # every rebuild
+        ...
+        u.eval_broadcast.unpersist()               # when done
+
+    The handle is validated downstream (tagged ('md5', n, set); a flag-
+    udf handle or an ``n`` mismatch raises)."""
     if trim_hashes is not None:
+        from pyspark.broadcast import Broadcast
+
         from mariadb_to_graylog_spark.operators.decontam import (
             contamination_trim_udf,
         )
 
-        trim = contamination_trim_udf(trim_hashes, n)
+        if isinstance(trim_hashes, Broadcast):
+            trim = contamination_trim_udf(eval_broadcast=trim_hashes, n=n)
+        else:
+            trim = contamination_trim_udf(trim_hashes, n)
         salvage = (
             F.col("_t.n_tokens_removed") < F.col("_t.n_tokens")
         ) & (F.col("quality") >= quality_threshold)
@@ -110,7 +130,7 @@ def curate(
     eval_hashes: set[int],
     quality_threshold: float = 0.5,
     n: int = 13,
-    trim_hashes: set[str] | None = None,
+    trim_hashes: "set[str] | Broadcast | None" = None,
 ) -> DataFrame:
     """The per-row curation transform (works on batch AND streaming
     DataFrames -- the batch-equivalence test runs it both ways):
@@ -128,7 +148,7 @@ def curate_watermarked(
     n: int = 13,
     event_time_col: str = "ts",
     delay: str = "10 minutes",
-    trim_hashes: set[str] | None = None,
+    trim_hashes: "set[str] | Broadcast | None" = None,
 ) -> DataFrame:
     """``curate`` with BOUNDED dedup state: ``dropDuplicatesWithinWatermark``
     on the md5 text key evicts a document's dedup record once the
@@ -158,7 +178,7 @@ def start_curation_stream(
     quality_threshold: float = 0.5,
     trigger_ms: int = 1000,
     n: int = 13,
-    trim_hashes: set[str] | None = None,
+    trim_hashes: "set[str] | Broadcast | None" = None,
 ) -> StreamingQuery:
     routed = curate(docs_stream, eval_hashes, quality_threshold, n, trim_hashes)
     return (

@@ -1996,6 +1996,11 @@ def test_eval_gram_set_size_guard(spark, docs):
     assert hs and all(isinstance(h, int) for h in hs)
     with pytest.raises(ValueError, match="eval corpus must be small"):
         eval_gram_set(ev, n=13, max_hashes=3)
+    # the guard must protect the full_md5 (destructive) path too -- its
+    # DEFAULT ceiling is width-sized (6M strings, not 50M longs), and an
+    # explicit cap enforces identically
+    with pytest.raises(ValueError, match="eval corpus must be small"):
+        eval_gram_set(ev, n=13, max_hashes=3, full_md5=True)
 
 
 def test_attach_payload_null_id_policy(spark):
@@ -2482,3 +2487,78 @@ def test_extents_coverage_consistency(spark):
         )
     for doc_id, covered in cov.items():
         assert covered == len(spans.get(doc_id, set())), doc_id
+
+
+def test_sampled_dedup_rate_clamped_nonnegative(spark):
+    """Between-bucket variance can scale the distinct estimate above the
+    exact occurrence total on an all-distinct corpus; the decision
+    metric must clamp at 0, never report a negative saving.  The corpus
+    is CONSTRUCTED to overshoot: every doc carries one unique gram, all
+    chosen (via the same md5-derived h32 the operator uses) to land in
+    sampled bucket 0 of 2, so est = 2 x distinct > occurrences."""
+    import hashlib
+
+    from mariadb_to_graylog_spark.operators.dedup import sampled_dedup_rate
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    texts = []
+    i = 0
+    while len(texts) < 12:
+        t = f"tok{i} alpha beta gamma"  # exactly one 4-gram = the text
+        if h32_py(t) % 2 == 0:
+            texts.append(t)
+        i += 1
+    docs = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = sampled_dedup_rate(docs, n=4, buckets=2, sample_buckets=1).collect()[0]
+    assert row["n_gram_occurrences"] == 12
+    assert row["n_sampled_distinct"] == 12
+    assert row["est_distinct_grams"] == 24  # overshoots the 12 occurrences
+    assert row["dup_rate_est"] == 0.0  # clamped, not -1.0
+
+
+def test_curate_trim_broadcast_handle_reuse(spark):
+    """Passing a previous trim udf's eval_broadcast as trim_hashes must
+    produce IDENTICAL decisions to passing the raw set (the plan-rebuild
+    path that avoids re-shipping the full-md5 set), and a flag-udf
+    handle must be rejected loudly downstream."""
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination_flag_udf,
+        contamination_trim_udf,
+        eval_gram_set,
+    )
+    from mariadb_to_graylog_spark.streaming.curation_stream import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated clean document text here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    hashes = eval_gram_set(ev, n=4, full_md5=True)
+    flag_hashes = eval_gram_set(ev, n=4)
+    u = contamination_trim_udf(hashes, n=4)
+    try:
+        via_set = sorted(
+            (r["doc_id"], r["decision"], r["text"])
+            for r in curate(docs, flag_hashes, n=4, trim_hashes=hashes).collect()
+        )
+        via_handle = sorted(
+            (r["doc_id"], r["decision"], r["text"])
+            for r in curate(
+                docs, flag_hashes, n=4, trim_hashes=u.eval_broadcast
+            ).collect()
+        )
+        assert via_set == via_handle
+        flag_udf = contamination_flag_udf(flag_hashes, n=4)
+        with pytest.raises(ValueError, match="contamination_flag_udf handle"):
+            curate(docs, flag_hashes, n=4, trim_hashes=flag_udf.eval_broadcast)
+    finally:
+        u.eval_broadcast.unpersist()

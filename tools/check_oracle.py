@@ -43,7 +43,7 @@ def normalize(rows, cols):
     return out
 
 
-def check_one(name, queries, oracles, spark, con, sf_dir):
+def check_one(name, queries, oracles, spark, con, sf_dir, quiet_pass=False):
     """Run one query against its oracle; return None on pass/skip, else a
     one-line failure reason (kind + detail) suitable for the forensic log."""
     q = queries[name]
@@ -75,7 +75,8 @@ def check_one(name, queries, oracles, spark, con, sf_dir):
     if spark_vals != duck_vals:
         bad = [(a, b) for a, b in zip(spark_vals, duck_vals) if a != b][:3]
         return f"value mismatch, first diffs: {bad}"
-    print(f"PASS {name} ({len(spark_vals)} rows)")
+    if not quiet_pass:
+        print(f"PASS {name} ({len(spark_vals)} rows)")
     return None
 
 
@@ -126,8 +127,11 @@ def main() -> int:
         print(f"FAIL {name}: {reason}")
         retry_status = "not retried"
         if args.retry_failed:
+            # quiet_pass: a retry that recovers must NOT print "PASS name"
+            # after the FAIL line -- automation grepping PASS/FAIL would
+            # count the query as both; the RETRY line is the verdict
             retry_reason = check_one(
-                name, queries, oracles, spark, con, args.sf_dir
+                name, queries, oracles, spark, con, args.sf_dir, quiet_pass=True
             )
             if retry_reason is None:
                 retry_status = "transient (passed on retry)"
@@ -148,7 +152,11 @@ def main() -> int:
         run_id = f"{_dt.datetime.now().isoformat()} pid={os.getpid()}"
         try:
             if log.exists() and log.stat().st_size > 262144:
-                log.unlink()  # bound growth across runs
+                # rotate, don't unlink: the log IS the cross-run forensic
+                # record of transient failures -- deleting it would erase
+                # the very history a flake hunt depends on; one .1
+                # generation bounds total growth at ~512 KB
+                log.replace(log.parent / (log.name + ".1"))
             with log.open("a") as fh:
                 fh.write(f"=== run {run_id} sf_dir={args.sf_dir} ===\n")
                 for name, reason, retry_status in failures:
