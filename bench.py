@@ -151,6 +151,8 @@ QUERY_NAMES = [
     "trim_loss_by_source",
     "novelty_by_batch",
     "dedup_rate_sampled",
+    "unigram_surprisal",
+    "incremental_dedup",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",

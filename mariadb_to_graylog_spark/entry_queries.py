@@ -3073,6 +3073,131 @@ FROM occ, samp
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: mean per-token surprisal under
+    the corpus's own unigram LM, 64-token vocabulary so the OOV floor
+    path is exercised (everything outside the head of the synthetic
+    vocab distribution scores ln N)."""
+    d = _documents(spark, sf_dir)
+    return tx.unigram_surprisal(d, top_v=64)
+
+
+ORACLE_UNIGRAM_SURPRISAL = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+  FROM documents
+),
+tot AS (SELECT greatest(count(*), 1) AS n FROM occ),
+freq AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+vocab AS (
+  SELECT tok,
+         CAST(round((ln((SELECT n FROM tot)) - ln(cnt)) * 1000000) AS BIGINT)
+           AS micro
+  FROM freq ORDER BY cnt DESC, tok LIMIT 64
+),
+agg AS (
+  SELECT occ.doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN micro IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         sum(coalesce(micro,
+               CAST(round(ln((SELECT n FROM tot)) * 1000000) AS BIGINT)))
+           AS sum_micro
+  FROM occ LEFT JOIN vocab USING (tok) GROUP BY occ.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN round(sum_micro::DOUBLE / (n_tokens * 1000000.0), 6)
+       END AS surprisal
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
+    the planted exact copies) is checked against the EXISTING corpus
+    without re-deduping the corpus itself -- exact duplicate (md5
+    membership) and >= 13-token verbatim overlap (distributed gram
+    semi-probe, ``contamination`` with ``pin_broadcast=False`` because
+    the reference side is corpus-sized).  Decisions: ``duplicate`` >
+    ``overlap`` > ``kept``.  Only 32-byte hash keys and 8-byte gram
+    hashes ever shuffle; document text never moves."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination
+
+    d = docs_with_exact_dups(spark, sf_dir)
+    is_new = (F.col("doc_id") % 7 == 3) | (F.col("doc_id") >= 100000)
+    new = d.filter(is_new)
+    corpus = d.filter(~is_new)
+    corpus_hashes = (
+        corpus.select(F.md5("text").alias("_h"))
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    exact = (
+        new.withColumn("_h", F.md5("text"))
+        .join(corpus_hashes, "_h", "left")
+        .select("doc_id", F.col("_e").isNotNull().alias("exact_dup"))
+    )
+    overlap = contamination(new, corpus, n=13, pin_broadcast=False).select(
+        "doc_id", F.col("contaminated").alias("shares_gram")
+    )
+    return exact.join(overlap, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "exact_dup",
+        "shares_gram",
+        F.when(F.col("exact_dup"), F.lit("duplicate"))
+        .when(F.col("shares_gram"), F.lit("overlap"))
+        .otherwise(F.lit("kept"))
+        .alias("decision"),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+new_ AS (SELECT * FROM d WHERE doc_id % 7 = 3 OR doc_id >= 100000),
+corp AS (SELECT * FROM d WHERE NOT (doc_id % 7 = 3 OR doc_id >= 100000)),
+ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM new_
+),
+g AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(str_split(s, ' ')) - 12, 0) + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(
+             list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 12),
+             ' ')), 1, 8) AS BIGINT)))) AS h
+    FROM s)
+),
+cs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM corp
+),
+cg AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest(list_distinct(list_transform(
+      range(1, greatest(len(str_split(s, ' ')) - 12, 0) + 1),
+      i -> CAST('0x' || substr(md5(array_to_string(
+             list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 12),
+             ' ')), 1, 8) AS BIGINT)))) AS h
+    FROM cs)
+),
+hit AS (SELECT DISTINCT g.doc_id FROM g JOIN cg USING (h))
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       (ch.h IS NOT NULL) AS exact_dup,
+       (hit.doc_id IS NOT NULL) AS shares_gram,
+       CASE WHEN ch.h IS NOT NULL THEN 'duplicate'
+            WHEN hit.doc_id IS NOT NULL THEN 'overlap'
+            ELSE 'kept' END AS decision
+FROM new_ n
+LEFT JOIN ch ON ch.h = md5(n.text)
+LEFT JOIN hit ON hit.doc_id = n.doc_id
+"""
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated
     percentiles -- the oracle path; approx_percentile is the 100 TB
@@ -3425,6 +3550,8 @@ TRAINING_QUERIES = {
     "trim_loss_by_source": q_trim_loss_by_source,
     "novelty_by_batch": q_novelty_by_batch,
     "dedup_rate_sampled": q_dedup_rate_sampled,
+    "unigram_surprisal": q_unigram_surprisal,
+    "incremental_dedup": q_incremental_dedup,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -3484,6 +3611,8 @@ TRAINING_ORACLES = {
     "trim_loss_by_source": ORACLE_TRIM_LOSS_BY_SOURCE,
     "novelty_by_batch": ORACLE_NOVELTY_BY_BATCH,
     "dedup_rate_sampled": ORACLE_DEDUP_RATE_SAMPLED,
+    "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -3514,6 +3643,8 @@ _DRIVER_PRIORITY = [
     "trim_loss_by_source",
     "novelty_by_batch",
     "dedup_rate_sampled",
+    "unigram_surprisal",
+    "incremental_dedup",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

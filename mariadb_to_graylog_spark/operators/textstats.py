@@ -385,6 +385,86 @@ def token_rarity(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 65536,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, surprisal): mean per-token negative
+    log-likelihood (nats) under a unigram LM trained on THIS corpus --
+    the CCNet-style perplexity-proxy quality signal without an external
+    LM.  ``p(tok) = corpus_count / N`` for the ``top_v`` most frequent
+    tokens (ties broken by token text, deterministically); everything
+    else is out-of-vocabulary at the ``1/N`` floor.  High surprisal =
+    gibberish/OCR garbage/wrong-language text; LOW surprisal on a large
+    doc = template boilerplate -- the two tails a quality gate cuts.
+    ``token_rarity`` is the count-based sibling; this one weights every
+    token by how improbable it is, not just the rare ones.
+
+    fp determinism: per-token surprisal is quantized to integer
+    MICRO-nats (``round((ln N - ln count) * 1e6)`` as long) in the V-row
+    vocab table, so per-doc totals are EXACT integer sums -- immune to
+    float summation order across partitions/engines -- with one rounded
+    division at the end (the repo-wide fp-order-stability rule).
+
+    Shape: one token-occurrence shuffle into the vocab count (map-side
+    partials collapse repeats), a top-V cutoff via TakeOrdered (per-
+    partition heaps, never a global sort), the V-row vocab BROADCAST
+    back onto the occurrence stream, and a standard two-phase per-doc
+    aggregate.  N (total token count) is a single driver-side scalar
+    (one count job), like the k-means centroid collect -- not a
+    distributed-loop smell.  Tokenless documents report n_tokens=0 and
+    NULL surprisal."""
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    )
+    toks = occ.filter(F.col("tok").isNotNull())
+    # scalar N; max(1) keeps ln defined on an all-tokenless corpus
+    # (no token rows exist, so the value is never consumed)
+    n_total = max(toks.count(), 1)
+    ln_n = F.log(F.lit(float(n_total)))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.desc("_cnt"), F.asc("tok"))
+        .limit(top_v)
+        .select(
+            "tok",
+            F.round((ln_n - F.log(F.col("_cnt").cast("double"))) * 1e6)
+            .cast("long")
+            .alias("_micro"),
+        )
+    )
+    oov_micro = F.round(ln_n * 1e6).cast("long")
+    joined = occ.join(F.broadcast(vocab), "tok", "left")
+    per_tok = F.when(
+        F.col("tok").isNotNull(), F.coalesce(F.col("_micro"), oov_micro)
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                (F.col("tok").isNotNull() & F.col("_micro").isNull()).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(per_tok).alias("_sum_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_sum_micro") / (F.col("n_tokens") * F.lit(1e6)), 6),
+        ).alias("surprisal"),
+    )
+
+
 def stratified_quota_sample(
     df: DataFrame,
     quotas: dict[str, int],

@@ -114,7 +114,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "crosslingual_near_dup", "quality_threshold_sweep",
      "decontaminate_coverage", "trim_contaminated",
      "decontaminate_coverage_bucketed", "curation_trim_pipeline",
-     "trim_loss_by_source", "novelty_by_batch", "dedup_rate_sampled"],
+     "trim_loss_by_source", "novelty_by_batch", "dedup_rate_sampled",
+     "unigram_surprisal", "incremental_dedup"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

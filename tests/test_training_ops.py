@@ -2562,3 +2562,64 @@ def test_curate_trim_broadcast_handle_reuse(spark):
             curate(docs, flag_hashes, n=4, trim_hashes=flag_udf.eval_broadcast)
     finally:
         u.eval_broadcast.unpersist()
+
+
+def test_unigram_surprisal_golden(spark):
+    """Hand-computed micro-nat golden: corpus 'a a a b' + 'z q', top_v=1
+    -> vocab = {a: 3 of N=6}; b/z/q are OOV at the 1/N floor.
+    surprisal(doc1) = (3*round(ln2*1e6) + round(ln6*1e6)) / 4e6."""
+    import math
+
+    from mariadb_to_graylog_spark.operators import textstats as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "z q"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.unigram_surprisal(docs, top_v=1).collect()}
+    m_a = round(math.log(2) * 1e6)     # ln6 - ln3
+    m_oov = round(math.log(6) * 1e6)
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[1]["surprisal"] == round((3 * m_a + m_oov) / 4e6, 6)
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 2
+    assert out[2]["surprisal"] == round(2 * m_oov / 2e6, 6)
+    assert out[3]["n_tokens"] == 0 and out[3]["surprisal"] is None
+
+
+def test_unigram_surprisal_separates_gibberish_from_template(spark):
+    """The quality-gate property: an OCR-garbage doc (every token
+    corpus-unique) must out-score a template doc (all head tokens),
+    with the template doc scoring LOWEST in the corpus."""
+    from mariadb_to_graylog_spark.operators import textstats as tx
+
+    rows = [(i, "the cat sat on the mat again and again today") for i in range(10)]
+    rows.append((100, "qzx vbn wkj plm tyu ghf dsa mnb poi lkj"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["surprisal"]
+           for r in tx.unigram_surprisal(docs, top_v=16).collect()}
+    assert out[100] > out[0]
+    assert min(out.values()) == out[0]
+
+
+def test_incremental_dedup_planted_decisions(spark):
+    """Every planted exact copy whose original stayed in the corpus must
+    come back 'duplicate'; decisions are exactly the three lanes; every
+    new-batch doc gets exactly one row."""
+    from mariadb_to_graylog_spark.entry_queries import TRAINING_QUERIES
+
+    rows = TRAINING_QUERIES["incremental_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == len(rows)  # one row per new doc
+    assert {r["decision"] for r in rows} <= {"duplicate", "overlap", "kept"}
+    dup_ids = [i for i in by_id if i >= 100000]
+    assert dup_ids
+    for i in dup_ids:
+        orig = i - 100000
+        if orig % 7 != 3:  # original is in the corpus side
+            assert by_id[i]["exact_dup"] and by_id[i]["decision"] == "duplicate", i
+    # flag consistency: duplicate implies gram overlap too (same text)
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["shares_gram"] or r["decision"] == "duplicate"
