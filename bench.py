@@ -153,6 +153,9 @@ QUERY_NAMES = [
     "dedup_rate_sampled",
     "unigram_surprisal",
     "incremental_dedup",
+    "pack_sequences",
+    "dedup_keep_best",
+    "semantic_dedup",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",

@@ -676,6 +676,7 @@ LOG_ORACLES = {
 # ---------------------------------------------------------------------------
 
 from mariadb_to_graylog_spark.operators import dedup as dd  # noqa: E402
+from mariadb_to_graylog_spark.operators import mixing as mx  # noqa: E402
 from mariadb_to_graylog_spark.operators import paragraphs as pg  # noqa: E402
 from mariadb_to_graylog_spark.operators import similarity as sim  # noqa: E402
 from mariadb_to_graylog_spark.operators import textstats as tx  # noqa: E402
@@ -1046,7 +1047,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ground truth: LSH candidates -> exact 3-gram Jaccard verification ->
 # recursive-CTE reachability over VERIFIED edges -> MIN reachable id per
 # node.  UNION (not UNION ALL) dedups states, so the recursion terminates.
-ORACLE_DEDUP_GROUPS = (
+# Kept as a CTE block ending in `comp` so keep-best variants can build on
+# the identical component labels.
+_DEDUP_GROUPS_CTES = (
     _minhash_cand_ctes(4, 8, 4)
     + """,
 g AS (
@@ -1068,11 +1071,16 @@ reach(id, grp) AS (
   UNION
   SELECT CASE WHEN r.id = c.id_a THEN c.id_b ELSE c.id_a END, r.grp
   FROM reach r JOIN vp c ON r.id = c.id_a OR r.id = c.id_b
-)
-SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(grp) AS BIGINT) AS group_id
-FROM reach GROUP BY id
-"""
+),
+comp AS (
+  SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(grp) AS BIGINT) AS group_id
+  FROM reach GROUP BY id
+)"""
 ).replace("WITH d AS", "WITH RECURSIVE d AS")
+
+ORACLE_DEDUP_GROUPS = (
+    _DEDUP_GROUPS_CTES + "\nSELECT doc_id, group_id FROM comp"
+)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,19 +1256,27 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(
-    n_centroids: int = 8, iters: int = 2, dim: int = 64, k: int = 3,
-    nprobe: int = 2, round_digits: int = 6,
-) -> str:
-    """Unrolled Lloyd iterations: one assignment + one rounded-mean CTE per
-    iteration, replicating train_kmeans bit-for-bit (same seed rule, same
-    cosine fold, same per-component rounding)."""
+def _raw_cos_sql(a: str, b: str) -> str:
+    """Unrounded cosine (the assignment/ranking expression; rounding only
+    ever happens at output or threshold time)."""
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"{_DOT.format(a=a, b=b)} / "
-            f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
-        )
+
+def _kmeans_train_ctes(
+    n_centroids: int = 8, iters: int = 2, dim: int = 64,
+    round_digits: int = 6,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """Unrolled Lloyd iterations: one assignment + one rounded-mean CTE
+    per iteration, replicating train_kmeans bit-for-bit (same seed rule,
+    same cosine fold, same per-component rounding).  Ends with the final
+    per-vector assignment CTE ``fin`` (vec_id, embedding, bucket) and
+    final centroids ``c{iters}``; oracles for every trained-k-means
+    consumer (IVF probe, semantic dedup) build on this shared block so
+    the cluster labels cannot drift between them."""
 
     def assign(src_cents: str, name: str) -> str:
         return f"""
@@ -1268,14 +1284,14 @@ def _kmeans_oracle_sql(
   SELECT vec_id, embedding, cid AS bucket
   FROM (SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
-        FROM embeddings e, {src_cents} c)
+                                  ORDER BY {_raw_cos_sql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM src e, {src_cents} c)
   WHERE rn = 1
 )"""
 
     parts = [
-        f"""WITH c0 AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+        f"""WITH src AS ({source_sql}), c0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM src ORDER BY vec_id LIMIT {n_centroids}
 )"""
     ]
     for i in range(iters):
@@ -1290,6 +1306,15 @@ c{i + 1} AS (
 )"""
         )
     parts.append("," + assign(f"c{iters}", "fin"))
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(
+    n_centroids: int = 8, iters: int = 2, dim: int = 64, k: int = 3,
+    nprobe: int = 2, round_digits: int = 6,
+) -> str:
+    cos = _raw_cos_sql
+    parts = [_kmeans_train_ctes(n_centroids, iters, dim, round_digits)]
     parts.append(
         f""",
 qprobe AS (
@@ -1297,7 +1322,7 @@ qprobe AS (
   FROM (SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
-        FROM embeddings e, c{iters} c
+        FROM src e, c{iters} c
         WHERE e.vec_id < 10)
   WHERE rn <= {nprobe}
 ),
@@ -1320,6 +1345,54 @@ FROM r WHERE rk <= {k}
 
 
 ORACLE_KNN_IVF_TRAINED = _kmeans_oracle_sql(n_centroids=16, iters=3, nprobe=2)
+
+
+_SQL_EMBED_DUPS = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings "
+    "WHERE vec_id % 10 = 0"
+)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus + planted exact re-encodes:
+    k-means clusters, within-cluster epsilon-ball pruning (keep lowest
+    id).  Every planted copy must come back keep=false."""
+    e = _embeddings(spark, sf_dir)
+    dups = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = e.select("vec_id", "embedding").unionByName(dups)
+    return sim.semantic_dedup(both, k=8, iters=2, dim=64, threshold=0.95)
+
+
+def _semantic_dedup_oracle_sql(
+    n_centroids: int = 8, iters: int = 2, dim: int = 64,
+    threshold: float = 0.95, round_digits: int = 6,
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """Same trained cluster labels as the IVF oracle (shared CTE block),
+    then the within-cluster lower-id-neighbor rule on the same rounded
+    cosine the engine thresholds on."""
+    return (
+        _kmeans_train_ctes(n_centroids, iters, dim, round_digits, source_sql)
+        + f""",
+np AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM fin a JOIN fin b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_raw_cos_sql("a.embedding", "b.embedding")}, {round_digits})
+          >= {threshold}
+)
+SELECT CAST(f.vec_id AS BIGINT) AS vec_id, CAST(f.bucket AS BIGINT) AS bucket,
+       (np.drop_id IS NULL) AS keep
+FROM fin f LEFT JOIN np ON np.drop_id = f.vec_id
+"""
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql(
+    n_centroids=8, iters=2, threshold=0.95, source_sql=_SQL_EMBED_DUPS
+)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3198,6 +3271,151 @@ LEFT JOIN hit ON hit.doc_id = n.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: every doc gets a deterministic position
+    in one of 8 independent 256-token-sequence streams (hash order =
+    epoch shuffle).  One hash exchange + shard-local sort; no global
+    order anywhere."""
+    d = _documents(spark, sf_dir)
+    return mx.pack_sequences(d, seq_len=256, shards=8, salt="pack1")
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack1'), 1, 8) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY h % 8 ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, stream_offset,
+       stream_offset // 256 AS seq_start,
+       (stream_offset + greatest(n_tokens, 1) - 1) // 256 AS seq_end,
+       (stream_offset + greatest(n_tokens, 1) - 1) // 256
+         - stream_offset // 256 + 1 AS seqs_spanned
+FROM s
+"""
+
+
+_MIX_BUDGET = 10_000
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixing of a 10k-token training budget
+    across sources: per-source weights, integer ppm keep rates, and the
+    realized deterministic sample (n_kept / kept_tokens)."""
+    d = _documents(spark, sf_dir)
+    return mx.temperature_mixture(d, budget_tokens=_MIX_BUDGET, salt="temp1")
+
+
+# the double chains (budget*s/S, then *1e6/n_tokens) are parenthesized
+# identically to mixing.temperature_mixture_rates: sqrt is IEEE-exact,
+# the micro-unit floor makes the normalizer an exact integer, and the
+# remaining ops are correctly-rounded doubles in both engines.
+ORACLE_SOURCE_MIXTURE = f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS t
+  FROM documents
+), per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t) AS BIGINT) AS n_tokens
+  FROM docs GROUP BY source
+), sc AS (
+  SELECT *, CAST(floor(sqrt(n_tokens) * 1000000.0) AS BIGINT) AS s FROM per
+), tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS stot FROM sc
+), r AS (
+  SELECT sc.source, sc.n_docs, sc.n_tokens,
+         round(CAST(sc.s AS DOUBLE) / tot.stot, 6) AS weight,
+         CAST(floor(CAST({_MIX_BUDGET} AS DOUBLE) * sc.s / tot.stot) AS BIGINT)
+           AS target_tokens,
+         LEAST(1000000, CAST(floor(CAST({_MIX_BUDGET} AS DOUBLE) * sc.s / tot.stot
+                                   * 1000000.0 / sc.n_tokens) AS BIGINT)) AS rate_ppm
+  FROM sc, tot
+), kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(d.t) AS BIGINT) AS kept_tokens
+  FROM docs d JOIN r ON d.source = r.source
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp1'), 1, 8) AS BIGINT)
+          % 1000000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.weight, r.target_tokens, r.rate_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: same verified-pair connected components
+    as ``dedup_groups``, but the survivor is the highest-quality cluster
+    member (ties -> lowest id), not the lowest id."""
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.lsh_jaccard_verified(
+        d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
+    out = dd.near_dedup_keep_best(d, pairs, tx.quality_score(F.col("text")))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "score",
+        "keep",
+    )
+
+
+# identical component labels as ORACLE_DEDUP_GROUPS (shared CTE block),
+# then the same rounded quality expression ranks the members: both
+# engines order by a 6-digit-rounded double, so ranks cannot diverge.
+ORACLE_DEDUP_KEEP_BEST = (
+    _DEDUP_GROUPS_CTES
+    + f""",
+qs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+{_SQL_QUALITY_INPUTS}
+  FROM d
+),
+sc AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS score FROM qs
+),
+rk AS (
+  SELECT c.doc_id, c.group_id, s.score,
+         ROW_NUMBER() OVER (PARTITION BY c.group_id
+                            ORDER BY s.score DESC, c.doc_id) AS rn
+  FROM comp c JOIN sc s USING (doc_id)
+)
+SELECT doc_id, group_id, score, (rn = 1) AS keep FROM rk
+"""
+)
+
+
+def q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the exact-dup corpus: the dedup
+    report's first chart (singleton share, heavy tail, excess docs)."""
+    d = docs_with_exact_dups(spark, sf_dir)
+    _, groups = dd.exact_dedup(d)
+    return dd.dup_cluster_histogram(groups)
+
+
+ORACLE_DUP_CLUSTER_HIST = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+g AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY md5(text)
+)
+SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n - 1) AS BIGINT) AS excess_docs
+FROM g GROUP BY n
+"""
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated
     percentiles -- the oracle path; approx_percentile is the 100 TB
@@ -3552,6 +3770,11 @@ TRAINING_QUERIES = {
     "dedup_rate_sampled": q_dedup_rate_sampled,
     "unigram_surprisal": q_unigram_surprisal,
     "incremental_dedup": q_incremental_dedup,
+    "pack_sequences": q_pack_sequences,
+    "source_mixture": q_source_mixture,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dup_cluster_hist": q_dup_cluster_hist,
+    "semantic_dedup": q_semantic_dedup,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -3613,6 +3836,11 @@ TRAINING_ORACLES = {
     "dedup_rate_sampled": ORACLE_DEDUP_RATE_SAMPLED,
     "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "source_mixture": ORACLE_SOURCE_MIXTURE,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "dup_cluster_hist": ORACLE_DUP_CLUSTER_HIST,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -3645,6 +3873,11 @@ _DRIVER_PRIORITY = [
     "dedup_rate_sampled",
     "unigram_surprisal",
     "incremental_dedup",
+    "pack_sequences",
+    "source_mixture",
+    "dedup_keep_best",
+    "dup_cluster_hist",
+    "semantic_dedup",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

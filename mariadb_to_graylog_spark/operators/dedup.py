@@ -1654,6 +1654,58 @@ def near_dedup_groups(
     )
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Quality-aware keep-one: label every doc with its near-dup group
+    (``near_dedup_groups`` over VERIFIED pairs), then keep the
+    HIGHEST-``score`` doc per group (ties -> lowest id) instead of the
+    lowest-id one -- the survivor choice a real curation run wants, since
+    near-dup cluster members differ (boilerplate variants, OCR noise) and
+    keep-lowest-id throws that signal away.
+
+    Output: one row per doc with ``group_id``, its ``score`` and the
+    ``keep`` decision.  Scale shape: the group labels come from the
+    connected-components path (hash keys only); the score join and the
+    per-group ``row_number`` add ONE exchange on group_id -- group sizes
+    are dup-cluster sizes, naturally small, so the window partitions are
+    bounded.
+    """
+    from pyspark.sql import Window
+
+    groups = near_dedup_groups(df, pairs, id_col, checkpoint_dir)
+    scored = df.select(F.col(id_col).alias("doc_id"), score.alias("_score"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    return (
+        groups.join(scored, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            F.col("_score").alias("score"),
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )
+
+
+def dup_cluster_histogram(groups: DataFrame, n_col: str = "n") -> DataFrame:
+    """Cluster-size distribution from an ``exact_dedup`` groups table:
+    how much of the corpus is singletons vs 2x vs heavy-tail copies --
+    the first chart of any dedup report, and the input to an effective-
+    dataset-size estimate (``excess_docs`` is what deduping deletes).
+    One map-side-combined aggregate over an already-aggregated table."""
+    return groups.groupBy(F.col(n_col).cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col(n_col).cast("long") - 1).alias("excess_docs"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -389,6 +389,72 @@ def knn_ivf_trained(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with the deterministic k-means trainer, then inside
+    each cluster drop every vector that has a >= ``threshold``-cosine
+    neighbor with a LOWER id -- one survivor per epsilon-ball, chosen
+    deterministically, no connected components needed.
+
+    Returns (vec_id, bucket, keep).  Unlike ``embedding_neardup_lsh``
+    (SRP bit-agreement candidates), the candidate set here is the
+    k-means cluster: SemDeDup's observation is that semantic duplicates
+    -- same content re-encoded, templated, or lightly edited -- collapse
+    into tight clusters, so the within-cluster pair scan finds them
+    without any global pair join.
+
+    Scale shape: training shuffles k x dim partial sums only
+    (``train_kmeans``); assignment is a zero-shuffle map-side argmax
+    over broadcast literal centroids; the pair scan is ONE equality
+    join on bucket, quadratic only within a cluster -- at corpus scale
+    you raise ``k`` so clusters stay bounded (SemDeDup uses ~100k
+    clusters for 100M+ docs; k ~ N / desired_cluster_size), which also
+    keeps the per-key skew bounded.  The threshold compares the same
+    ``round_digits``-rounded cosine the DuckDB oracle computes, so the
+    keep decision cannot diverge between engines.
+    """
+    cents = train_kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim,
+        round_digits=round_digits,
+    )
+    assigned = assign_buckets_local(
+        df.select(id_col, vec_col), cents, vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "bucket", F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "bucket", F.col(vec_col).alias("_vb")
+    )
+    drop = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+            >= threshold
+        )
+        .select(F.col("id_b").alias("_drop"))
+        .distinct()
+    )
+    return (
+        assigned.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .join(drop, F.col("vec_id") == F.col("_drop"), "left")
+        .select("vec_id", "bucket", F.col("_drop").isNull().alias("keep"))
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

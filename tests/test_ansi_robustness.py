@@ -115,7 +115,11 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "decontaminate_coverage", "trim_contaminated",
      "decontaminate_coverage_bucketed", "curation_trim_pipeline",
      "trim_loss_by_source", "novelty_by_batch", "dedup_rate_sampled",
-     "unigram_surprisal", "incremental_dedup"],
+     "unigram_surprisal", "incremental_dedup",
+     # round 6b: integer-div packing windows; sqrt/ppm mixture rates;
+     # keep-best window over CC labels; k-means bucket pair scan
+     "pack_sequences", "source_mixture", "dedup_keep_best",
+     "dup_cluster_hist", "semantic_dedup"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -2623,3 +2623,184 @@ def test_incremental_dedup_planted_decisions(spark):
     for r in rows:
         if r["exact_dup"]:
             assert r["shares_gram"] or r["decision"] == "duplicate"
+
+
+def test_pack_sequences_stream_invariants(spark, docs):
+    from mariadb_to_graylog_spark.operators.mixing import pack_sequences
+
+    out = pack_sequences(docs, seq_len=256, shards=4, salt="pack1").collect()
+    assert len(out) == docs.count()  # every doc gets a position
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard, rows in by_shard.items():
+        total = sum(r["n_tokens"] for r in rows)
+        # the stream is gapless: the furthest doc end equals the token sum
+        assert max(r["stream_offset"] + r["n_tokens"] for r in rows) == total
+        assert min(r["stream_offset"] for r in rows) == 0
+        for r in rows:
+            span = max(r["n_tokens"], 1)
+            assert r["seq_start"] == r["stream_offset"] // 256
+            assert r["seq_end"] == (r["stream_offset"] + span - 1) // 256
+            assert r["seqs_spanned"] == r["seq_end"] - r["seq_start"] + 1
+
+
+def test_pack_sequences_single_shard_matches_manual_order(spark):
+    """shards=1: offsets must equal the running sum over the md5-hash
+    order -- the hash order IS the epoch shuffle, so pin it exactly."""
+    import hashlib
+
+    from mariadb_to_graylog_spark.operators.mixing import pack_sequences
+
+    rows = [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=4, shards=1, salt="s").collect()}
+    hkey = {i: int(hashlib.md5(f"{i}s".encode()).hexdigest()[:8], 16)
+            for i, _ in rows}
+    order = sorted(hkey, key=lambda i: (hkey[i], i))
+    ntok = {1: 3, 2: 2, 3: 4, 4: 0}
+    off = 0
+    for i in order:
+        assert out[i]["stream_offset"] == off, i
+        off += ntok[i]
+
+
+def test_pack_sequences_salt_changes_epoch_order(spark, docs):
+    from mariadb_to_graylog_spark.operators.mixing import pack_sequences
+
+    a = {r["doc_id"]: (r["shard"], r["stream_offset"])
+         for r in pack_sequences(docs, salt="ep0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["stream_offset"])
+         for r in pack_sequences(docs, salt="ep1").collect()}
+    assert a != b  # independent epoch shuffles
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """One giant source + small tails: sqrt temperature must give the
+    giant LESS than its proportional share and the tails MORE."""
+    from mariadb_to_graylog_spark.operators.mixing import temperature_mixture
+
+    rows = [(i, "tok " * 100, "giant") for i in range(90)]
+    rows += [(1000 + i, "tok " * 100, "tail_a") for i in range(5)]
+    rows += [(2000 + i, "tok " * 100, "tail_b") for i in range(5)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in temperature_mixture(docs, 5000).collect()}
+    tot_tokens = sum(r["n_tokens"] for r in out.values())
+    giant_share = out["giant"]["n_tokens"] / tot_tokens
+    assert out["giant"]["weight"] < giant_share
+    assert out["tail_a"]["weight"] > out["tail_a"]["n_tokens"] / tot_tokens
+    # tails keep a HIGHER fraction of themselves than the giant does
+    assert out["tail_a"]["rate_ppm"] > out["giant"]["rate_ppm"]
+    # budget conservation up to per-source floor loss
+    target_sum = sum(r["target_tokens"] for r in out.values())
+    assert 5000 - len(out) <= target_sum <= 5000
+    for r in out.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+
+
+def test_temperature_mixture_budget_exceeds_corpus_keeps_all(spark, docs):
+    from mariadb_to_graylog_spark.operators.mixing import temperature_mixture
+
+    out = temperature_mixture(docs, 10_000_000).collect()
+    for r in out:
+        assert r["rate_ppm"] == 1_000_000, r["source"]
+        assert r["n_kept"] == r["n_docs"]
+        assert r["kept_tokens"] == r["n_tokens"]
+        assert r["target_tokens"] >= r["n_tokens"]  # oversubscribed -> repeat
+
+
+def test_temperature_sample_filter_deterministic(spark, docs):
+    from mariadb_to_graylog_spark.operators.mixing import (
+        temperature_sample_filter,
+    )
+
+    kept1 = {r["doc_id"] for r in docs.filter(
+        temperature_sample_filter(F.col("doc_id"), F.lit(300000), "s1")).collect()}
+    kept2 = {r["doc_id"] for r in docs.filter(
+        temperature_sample_filter(F.col("doc_id"), F.lit(300000), "s1")).collect()}
+    kept3 = {r["doc_id"] for r in docs.filter(
+        temperature_sample_filter(F.col("doc_id"), F.lit(300000), "s2")).collect()}
+    assert kept1 == kept2
+    assert kept1 != kept3  # different salt -> independent draw
+
+
+def test_near_dedup_keep_best_prefers_quality(spark):
+    """Two near-dup clusters with a clearly-better member each: keep-best
+    must keep the high-quality variant, while plain keep-one (lowest id)
+    would keep the other; singletons always survive."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        near_dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+    from mariadb_to_graylog_spark.operators.textstats import quality_score
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green hills today")
+    rows = [
+        (1, base + " !!!,,,;;;:::!!!,,,;;;:::"),   # punct-heavy variant
+        (2, base),                                  # clean variant (better)
+        (10, "completely unrelated text about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    out = {r["doc_id"]: r for r in
+           near_dedup_keep_best(docs, pairs, quality_score(F.col("text"))).collect()}
+    assert out[1]["group_id"] == out[2]["group_id"] == 1
+    assert out[2]["keep"] and not out[1]["keep"]  # quality beats lowest-id
+    assert out[10]["keep"]  # singleton
+    # exactly one survivor per group
+    kept_per_group: dict[int, int] = {}
+    for r in out.values():
+        kept_per_group[r["group_id"]] = kept_per_group.get(r["group_id"], 0) + int(r["keep"])
+    assert all(v == 1 for v in kept_per_group.values())
+
+
+def test_dup_cluster_histogram_counts(spark):
+    from mariadb_to_graylog_spark.operators.dedup import (
+        dup_cluster_histogram,
+        exact_dedup,
+    )
+
+    rows = [(i, f"text {i % 4}") for i in range(10)]  # sizes 3,3,2,2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, groups = exact_dedup(docs)
+    hist = {r["cluster_size"]: r for r in dup_cluster_histogram(groups).collect()}
+    assert hist[3]["n_clusters"] == 2 and hist[3]["excess_docs"] == 4
+    assert hist[2]["n_clusters"] == 2 and hist[2]["excess_docs"] == 2
+    assert sum(r["n_clusters"] * k for k, r in hist.items()) == 10
+
+
+def test_semantic_dedup_drops_planted_copies(spark, embeds):
+    """Exact re-encoded copies land in the SAME cluster (identical
+    argmax) and must be pruned (keep=false) while their originals
+    survive; keeps are deterministic across runs."""
+    from mariadb_to_graylog_spark.operators.similarity import semantic_dedup
+
+    dups = embeds.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = embeds.select("vec_id", "embedding").unionByName(dups)
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(both, k=4, iters=2, threshold=0.95).collect()}
+    planted = [i for i in out if i >= 100000]
+    assert planted
+    for i in planted:
+        orig = i - 100000
+        assert out[i]["bucket"] == out[orig]["bucket"], i
+        assert not out[i]["keep"], i  # a lower-id identical vector exists
+    # the lowest id of every bucket can have no lower-id neighbor: keeps
+    lowest = {}
+    for i, r in out.items():
+        if r["bucket"] not in lowest or i < lowest[r["bucket"]]:
+            lowest[r["bucket"]] = i
+    for b, i in lowest.items():
+        assert out[i]["keep"], (b, i)
+    # second run identical (deterministic training + pruning)
+    out2 = {r["vec_id"]: (r["bucket"], r["keep"]) for r in
+            semantic_dedup(both, k=4, iters=2, threshold=0.95).collect()}
+    assert out2 == {i: (r["bucket"], r["keep"]) for i, r in out.items()}
