@@ -3354,6 +3354,62 @@ FROM r LEFT JOIN kept k ON r.source = k.source
 """
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch manifest a training run reads, end-to-end: sqrt-
+    temperature mixture rates -> deterministic ppm sample -> sequence
+    packing of the kept docs (salt = epoch id).  Composition of existing
+    operators, like curation_pipeline."""
+    d = _documents(spark, sf_dir)
+    rates = mx.temperature_mixture_rates(d, budget_tokens=_MIX_BUDGET)
+    kept = d.join(
+        F.broadcast(rates.select("source", "rate_ppm")), "source"
+    ).filter(
+        mx.temperature_sample_filter(F.col("doc_id"), F.col("rate_ppm"), "temp1")
+    )
+    return mx.pack_sequences(kept, seq_len=256, shards=4, salt="ep0")
+
+
+ORACLE_TRAINING_MANIFEST = f"""
+WITH docs AS (
+  SELECT source, doc_id, text,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS t
+  FROM documents
+), per AS (
+  SELECT source, CAST(SUM(t) AS BIGINT) AS n_tokens FROM docs GROUP BY source
+), sc AS (
+  SELECT *, CAST(floor(sqrt(n_tokens) * 1000000.0) AS BIGINT) AS s FROM per
+), tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS stot FROM sc
+), r AS (
+  SELECT sc.source,
+         LEAST(1000000, CAST(floor(CAST({_MIX_BUDGET} AS DOUBLE) * sc.s / tot.stot
+                                   * 1000000.0 / sc.n_tokens) AS BIGINT)) AS rate_ppm
+  FROM sc, tot
+), kept AS (
+  SELECT d.doc_id, d.t FROM docs d JOIN r ON d.source = r.source
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp1'), 1, 8) AS BIGINT)
+          % 1000000 < r.rate_ppm
+), h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 8) AS BIGINT) AS hk
+  FROM kept
+), s AS (
+  SELECT doc_id, n_tokens, CAST(hk % 4 AS BIGINT) AS shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY hk % 4 ORDER BY hk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_offset
+  FROM h
+)
+SELECT doc_id, shard, n_tokens, stream_offset,
+       stream_offset // 256 AS seq_start,
+       (stream_offset + greatest(n_tokens, 1) - 1) // 256 AS seq_end,
+       (stream_offset + greatest(n_tokens, 1) - 1) // 256
+         - stream_offset // 256 + 1 AS seqs_spanned
+FROM s
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dedup: same verified-pair connected components
     as ``dedup_groups``, but the survivor is the highest-quality cluster
@@ -3775,6 +3831,7 @@ TRAINING_QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dup_cluster_hist": q_dup_cluster_hist,
     "semantic_dedup": q_semantic_dedup,
+    "training_manifest": q_training_manifest,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -3841,6 +3898,7 @@ TRAINING_ORACLES = {
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "dup_cluster_hist": ORACLE_DUP_CLUSTER_HIST,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "training_manifest": ORACLE_TRAINING_MANIFEST,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -3878,6 +3936,7 @@ _DRIVER_PRIORITY = [
     "dedup_keep_best",
     "dup_cluster_hist",
     "semantic_dedup",
+    "training_manifest",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

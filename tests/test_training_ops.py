@@ -2804,3 +2804,21 @@ def test_semantic_dedup_drops_planted_copies(spark, embeds):
     out2 = {r["vec_id"]: (r["bucket"], r["keep"]) for r in
             semantic_dedup(both, k=4, iters=2, threshold=0.95).collect()}
     assert out2 == {i: (r["bucket"], r["keep"]) for i, r in out.items()}
+
+
+def test_training_manifest_composes_mixture_and_packing(spark):
+    """The epoch manifest: exactly the temperature-kept docs appear, and
+    each shard's packed stream is gapless over that subset."""
+    from mariadb_to_graylog_spark.entry_queries import TRAINING_QUERIES
+
+    out = TRAINING_QUERIES["training_manifest"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(out) < 500  # a strict, non-empty subset was sampled
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        total = sum(r["n_tokens"] for r in rows)
+        assert max(r["stream_offset"] + r["n_tokens"] for r in rows) == total
+        assert min(r["stream_offset"] for r in rows) == 0
