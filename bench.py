@@ -156,6 +156,7 @@ QUERY_NAMES = [
     "pack_sequences",
     "dedup_keep_best",
     "semantic_dedup",
+    "knn_pq",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",
@@ -296,6 +297,28 @@ def main() -> int:
                 len(brute & got) / max(len(brute), 1), 4
             )
         extras["ivf_recall_curve"] = curve
+
+        # PQ recall over the rerank knob: raw ADC vs the two-stage
+        # (shortlist -> exact-rerank) path; rerank cost scales with R/N
+        # of the corpus touched at full precision
+        from mariadb_to_graylog_spark.operators.similarity import (
+            pq_adc_topk,
+            train_pq,
+        )
+
+        books = train_pq(e, m=4, ksub=8, iters=2, dim=64)
+        pq_curve = {}
+        for rr in (0, 10, 50):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in pq_adc_topk(
+                    e, F.col("vec_id") < 10, books, dim=64, k=3, rerank=rr
+                ).collect()
+            }
+            pq_curve[f"rerank_{rr}"] = round(
+                len(brute & got) / max(len(brute), 1), 4
+            )
+        extras["pq_recall_curve"] = pq_curve
 
     total = round(sum(queries.values()), 3)
     print(

@@ -389,6 +389,161 @@ def knn_ivf_trained(
     )
 
 
+def train_pq(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split every vector into ``m``
+    subspaces of dim/m and train an independent deterministic k-means
+    (``train_kmeans`` -- same seed rule, same cosine fold, same rounded
+    means) per subspace.  A vector's code is its m-tuple of sub-centroid
+    ids: 64 floats (256 B) compress to m small ints -- the memory move
+    that makes billion-vector ANN fit a cluster's RAM.  Returns m
+    driver-side codebooks (m x ksub x dim/m floats -- the centroid-collect
+    idiom)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            train_kmeans(
+                sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
+                dim=dsub, round_digits=round_digits,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``code_j`` columns (nearest sub-centroid id per subspace):
+    m map-side argmax folds over broadcast codebook literals -- ZERO
+    shuffle, same assignment rule (and tie semantics) as the IVF path."""
+    m = len(books)
+    dsub = dim // m
+    out = df
+    for j, cents in enumerate(books):
+        out = out.withColumn(
+            f"_sub{j}", F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        )
+        out = assign_buckets_local(out, cents, f"_sub{j}", f"code_{j}")
+        out = out.drop(f"_sub{j}")
+    return out
+
+
+def _codebook_vec_lookup(
+    cents: list[tuple[int, list[float]]], code_col: Column
+) -> Column:
+    """Decode one sub-code to its centroid vector via the flat-literal
+    zip trick (no per-centroid expression forest -- the Catalyst-analysis
+    lesson from ``_centroid_cos_array``)."""
+    cids = _centroid_ids(cents)
+    cvs = F.lit([[float(x) for x in cv] for _, cv in cents])
+    matches = F.zip_with(
+        cids, cvs, lambda cid, cv: F.when(cid == code_col, cv)
+    )
+    return F.try_element_at(
+        F.filter(matches, lambda x: x.isNotNull()), F.lit(1)
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_filter: Column,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int = 64,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k over PQ codes (asymmetric distance: exact query
+    vs reconstructed candidate): encode the corpus, COLLAPSE to the
+    distinct code tuples (<= ksub^m of them, regardless of corpus size),
+    score each tuple's reconstruction against the broadcast query set
+    ONCE, then hash-join the tiny scored-tuple table back onto the
+    encoded corpus and take per-query top-k.
+
+    That collapse is the 100 TB shape: the expensive cosine runs
+    |distinct codes| x |queries| times (bounded, e.g. 4096 x Q at
+    m=4/ksub=8), never N x Q; the join-back is a broadcast hash join of
+    a table bounded by the codebook, and the ranking exchange is cut by
+    the same per-partition partial top-k the brute-force path uses.
+    The crossJoin(broadcast(queries)) inside the tuple scoring is the
+    ANN by-design bounded nested loop (see test_plan_invariants
+    BNLJ_BY_DESIGN).
+
+    ``rerank=R`` enables the production two-stage shape: ADC shortlists
+    the top R per query (codes only -- the corpus's float vectors are
+    never scanned), then ONLY the R x Q shortlisted vectors are fetched
+    by a hash join on id and re-scored with exact cosine.  Recall
+    approaches brute force at R a few multiples of k while the full-
+    precision pass touches R/N of the corpus."""
+    m = len(books)
+    code_cols = [f"code_{j}" for j in range(m)]
+    enc = pq_encode(df, books, dim, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), *code_cols
+    )
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    recon = F.concat(
+        *[_codebook_vec_lookup(books[j], F.col(code_cols[j])) for j in range(m)]
+    )
+    scored_tuples = (
+        enc.select(*code_cols)
+        .distinct()
+        .withColumn("_recon", recon)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("q_vec"), F.col("_recon")), round_digits),
+        )
+        .select(*code_cols, "query_id", "cos_sim")
+    )
+    scored = (
+        enc.join(F.broadcast(scored_tuples), code_cols)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    if not rerank:
+        return _topk_window(_partial_topk(scored, k), k)
+    shortlist = _topk_window(_partial_topk(scored, rerank), rerank).select(
+        "query_id", "neighbor_id"
+    )
+    true_vecs = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    exact = (
+        shortlist.join(true_vecs, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("q_vec"), F.col("_nv")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return _topk_window(exact, k)
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

@@ -21,7 +21,7 @@ SF = "/root/testdata/sf0.001"
 # crossJoin(broadcast(tiny)) is the intended shape here: every candidate
 # scores against the handful of broadcast queries/centroids; resume_hwm
 # broadcasts a ONE-ROW threshold scalar to every row
-BNLJ_BY_DESIGN = {"knn_bruteforce", "knn_ivf", "resume_hwm"}
+BNLJ_BY_DESIGN = {"knn_bruteforce", "knn_ivf", "resume_hwm", "knn_pq"}
 
 
 @pytest.mark.parametrize("name", sorted(eq.ALL_QUERIES))

@@ -2822,3 +2822,59 @@ def test_training_manifest_composes_mixture_and_packing(spark):
         total = sum(r["n_tokens"] for r in rows)
         assert max(r["stream_offset"] + r["n_tokens"] for r in rows) == total
         assert min(r["stream_offset"] for r in rows) == 0
+
+
+def test_pq_identical_vectors_identical_codes(spark, embeds):
+    from mariadb_to_graylog_spark.operators.similarity import (
+        pq_encode,
+        train_pq,
+    )
+
+    dups = embeds.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = embeds.select("vec_id", "embedding").unionByName(dups)
+    books = train_pq(both, m=4, ksub=4, iters=1, dim=64)
+    assert len(books) == 4 and all(len(b) <= 4 for b in books)
+    codes = {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(4))
+             for r in pq_encode(both, books, dim=64).collect()}
+    for i in codes:
+        if i >= 100000:
+            assert codes[i] == codes[i - 100000], i
+    # every code is a real codebook id
+    for j in range(4):
+        valid = {cid for cid, _ in books[j]}
+        assert {c[j] for c in codes.values()} <= valid
+
+
+def test_pq_rerank_recall_dominates_raw_adc(spark, embeds):
+    """The two-stage path must be deterministic and at least as good as
+    raw ADC against brute force (it re-scores a superset with the exact
+    metric); identical reruns must match exactly."""
+    from collections import defaultdict
+
+    from mariadb_to_graylog_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_adc_topk,
+        train_pq,
+    )
+
+    e = embeds.select("vec_id", "embedding")
+    brute = defaultdict(set)
+    for r in knn_bruteforce(e, F.col("vec_id") < 5, k=3).collect():
+        brute[r["query_id"]].add(r["neighbor_id"])
+    books = train_pq(e, m=4, ksub=8, iters=2, dim=64)
+
+    def recall(rerank):
+        got = defaultdict(set)
+        for r in pq_adc_topk(e, F.col("vec_id") < 5, books, dim=64, k=3,
+                             rerank=rerank).collect():
+            got[r["query_id"]].add(r["neighbor_id"])
+        return sum(len(got[q] & brute[q]) / max(len(brute[q]), 1)
+                   for q in brute) / max(len(brute), 1), got
+
+    raw, _ = recall(0)
+    two_stage, got1 = recall(40)
+    assert two_stage >= raw
+    _, got2 = recall(40)
+    assert got1 == got2  # deterministic end-to-end
