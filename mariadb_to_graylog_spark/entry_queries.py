@@ -2022,6 +2022,61 @@ FROM t
 ORACLE_TOKEN_STATS_BPE = _token_stats_bpe_oracle()
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word from EXACT integer corpus sums (one rounded division at the
+    end, fp-order-stable) -- the compute-cost-per-word metric a
+    multilingual tokenizer choice is judged on."""
+    d = _documents(spark, sf_dir)
+    ws = tx.token_count(F.col("text")).cast("long")
+    bpe = F.size(tx.bpe_ish_tokens(F.col("text"))).cast("long")
+    return (
+        d.select("lang", ws.alias("_w"), bpe.alias("_b"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").alias("ws_tokens"),
+            F.sum("_b").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.greatest(F.col("ws_tokens"), F.lit(1).cast("long")),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _token_fertility_oracle() -> str:
+    from mariadb_to_graylog_spark.operators.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '{pat}', 1)) AS BIGINT) AS b
+  FROM documents
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS ws_tokens,
+         CAST(SUM(b) AS BIGINT) AS bpe_tokens
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       round(CAST(bpe_tokens AS DOUBLE) / greatest(ws_tokens, 1), 6) AS fertility
+FROM g
+"""
+
+
+ORACLE_TOKEN_FERTILITY = _token_fertility_oracle()
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: duplicate-word-bigram ratio, with a planted
     highly-repetitive variant of every 7th doc (text doubled) so the
@@ -3933,6 +3988,7 @@ TRAINING_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "training_manifest": q_training_manifest,
     "knn_pq": q_knn_pq,
+    "token_fertility": q_token_fertility,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4001,6 +4057,7 @@ TRAINING_ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "knn_pq": ORACLE_KNN_PQ,
+    "token_fertility": ORACLE_TOKEN_FERTILITY,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4040,6 +4097,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "training_manifest",
     "knn_pq",
+    "token_fertility",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

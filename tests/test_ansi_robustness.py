@@ -119,7 +119,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # round 6b: integer-div packing windows; sqrt/ppm mixture rates;
      # keep-best window over CC labels; k-means bucket pair scan
      "pack_sequences", "source_mixture", "dedup_keep_best",
-     "dup_cluster_hist", "semantic_dedup", "training_manifest", "knn_pq"],
+     "dup_cluster_hist", "semantic_dedup", "training_manifest", "knn_pq",
+     "token_fertility"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -44,3 +44,15 @@ def test_decontam_coverage_semi_join_is_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), name
         assert not re.search(r"SortMergeJoin .*LeftSemi", plan), name
+
+
+def test_pack_sequences_single_hash_exchange(spark):
+    """The packing path's scale contract: ONE hash exchange (the shard
+    key) feeds the shard-local sort/window; no global sort, no second
+    shuffle.  Holds for the raw operator and the mixture->packing
+    composition (the sample filter rides a broadcast join)."""
+    for name in ("pack_sequences", "training_manifest"):
+        df = eq.ALL_QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Exchange rangepartitioning" not in plan, name

@@ -2878,3 +2878,18 @@ def test_pq_rerank_recall_dominates_raw_adc(spark, embeds):
     assert two_stage >= raw
     _, got2 = recall(40)
     assert got1 == got2  # deterministic end-to-end
+
+
+def test_token_fertility_dominance(spark):
+    """BPE-ish pre-tokenization only ever SPLITS a whitespace token
+    (mixed alnum runs split at letter/digit boundaries; symbol runs add
+    tokens), so per-language bpe_tokens >= ws_tokens and fertility >= 1."""
+    from mariadb_to_graylog_spark.entry_queries import TRAINING_QUERIES
+
+    rows = TRAINING_QUERIES["token_fertility"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["bpe_tokens"] >= r["ws_tokens"], r["lang"]
+        assert r["fertility"] >= 1.0, r["lang"]
