@@ -2077,6 +2077,29 @@ FROM g
 ORACLE_TOKEN_FERTILITY = _token_fertility_oracle()
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic on the language key: top strata by row
+    count with integer-ppm shares -- what a salting/AQE-skew decision
+    reads before a big groupBy/join."""
+    d = _documents(spark, sf_dir)
+    return tx.key_skew_stats(d, "lang", top_n=10)
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT CAST(lang AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c
+), r AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank FROM c
+)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.cnt,
+       CAST(r.cnt * 1000000 // tot.n AS BIGINT) AS share_ppm
+FROM r, tot WHERE r.rank <= 10
+"""
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection: duplicate-word-bigram ratio, with a planted
     highly-repetitive variant of every 7th doc (text doubled) so the
@@ -3989,6 +4012,7 @@ TRAINING_QUERIES = {
     "training_manifest": q_training_manifest,
     "knn_pq": q_knn_pq,
     "token_fertility": q_token_fertility,
+    "key_skew": q_key_skew,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4058,6 +4082,7 @@ TRAINING_ORACLES = {
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "knn_pq": ORACLE_KNN_PQ,
     "token_fertility": ORACLE_TOKEN_FERTILITY,
+    "key_skew": ORACLE_KEY_SKEW,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4098,6 +4123,7 @@ _DRIVER_PRIORITY = [
     "training_manifest",
     "knn_pq",
     "token_fertility",
+    "key_skew",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

@@ -410,19 +410,25 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col).alias(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
-        )
-        books.append(
-            train_kmeans(
-                sub, k=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
-                dim=dsub, round_digits=round_digits,
+    # one cached scan feeds all m sub-trainers (each would otherwise
+    # re-read the source per Lloyd round x subspace)
+    work = df.select(id_col, vec_col).persist()
+    try:
+        books = []
+        for j in range(m):
+            sub = work.select(
+                F.col(id_col).alias(id_col),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
             )
-        )
-    return books
+            books.append(
+                train_kmeans(
+                    sub, k=ksub, iters=iters, id_col=id_col,
+                    vec_col=vec_col, dim=dsub, round_digits=round_digits,
+                )
+            )
+        return books
+    finally:
+        work.unpersist()
 
 
 def pq_encode(

@@ -802,3 +802,31 @@ def domain_reputation(
             6,
         ).alias("dom_stop_ratio"),
     )
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective groupBy/join key: per-key
+    counts (ONE partial-aggregated shuffle carrying key+count only --
+    rows never move), top-N keys via TakeOrderedAndProject (per-partition
+    heaps, no global sort), each with an integer-ppm share of all rows.
+    This is the table a skew decision reads BEFORE paying for a salted
+    join: a top key holding >~5% of a 10^12-row table is the shuffle
+    straggler.  The row total is one driver-side scalar (the
+    unigram-surprisal-N idiom); shares are exact integer arithmetic."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = int(counts.agg(F.sum("cnt")).first()[0] or 1)
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "share_ppm", F.expr(f"cnt * 1000000L div {total}").cast("long")
+        )
+        .select("rank", "key", "cnt", "share_ppm")
+    )

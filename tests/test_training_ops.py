@@ -2893,3 +2893,17 @@ def test_token_fertility_dominance(spark):
     for r in rows:
         assert r["bpe_tokens"] >= r["ws_tokens"], r["lang"]
         assert r["fertility"] >= 1.0, r["lang"]
+
+
+def test_key_skew_stats_ranks_heavy_hitters(spark):
+    from mariadb_to_graylog_spark.operators.textstats import key_skew_stats
+
+    rows = [(i, "hot") for i in range(80)]
+    rows += [(1000 + i, f"k{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = sorted(key_skew_stats(df, "k", top_n=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["key"] == "hot" and out[0]["cnt"] == 80
+    assert out[0]["share_ppm"] == 800_000  # exact integer ppm
+    assert out[1]["cnt"] == 5 and out[1]["key"] == "k0"  # tie -> lexical
