@@ -305,7 +305,34 @@ def run_embedding_level(spark, n_vecs: int) -> dict:
     def brute():
         return sim.knn_bruteforce(e, F.col("vec_id") < 8, k=3).count()
 
-    for name, fn in [("embed_neardup_lsh", srp), ("knn_bruteforce", brute)]:
+    def semdedup():
+        # k ~ sqrt(N): balances the O(N*k) literal-argmax assignment
+        # against the O(N^2/k) within-cluster pair scan -- both ~N^1.5,
+        # so the IDEAL 4x-data ratio for this operator is ~8, not 4
+        # (SemDeDup's intrinsic exponent; raising k trades one term for
+        # the other)
+        import math as _m
+
+        k = max(8, int(_m.sqrt(n_vecs / 4)))
+        return sim.semantic_dedup(
+            e, k=k, iters=2, dim=64, threshold=0.95
+        ).count()
+
+    def pq():
+        # training is O(N x ksub) per subspace; ADC scoring collapses to
+        # distinct code tuples (bounded by ksub^m) before any cosine ->
+        # ideal ratio ~4 end-to-end incl. the rerank fetch
+        books = sim.train_pq(e, m=4, ksub=8, iters=2, dim=64)
+        return sim.pq_adc_topk(
+            e, F.col("vec_id") < 8, books, dim=64, k=3, rerank=50
+        ).count()
+
+    for name, fn in [
+        ("embed_neardup_lsh", srp),
+        ("knn_bruteforce", brute),
+        ("semantic_dedup", semdedup),
+        ("knn_pq", pq),
+    ]:
         fn()
         sec, n = timed(fn)
         out[name] = {"sec": sec, "rows": n}
@@ -349,7 +376,19 @@ def run_level(spark, n_docs: int) -> dict:
         )
         return dd.near_dedup_groups(d, pairs).filter("doc_id = group_id").count()
 
-    for name, fn in [("lsh_verified", lsh_verified), ("simhash_banded", banded), ("dedup_groups_keep_one", groups)]:
+    def packing():
+        # one hash exchange + shard-local sort; shards scale with cores,
+        # each shard an independent token stream -> ideal ratio ~4
+        from mariadb_to_graylog_spark.operators import mixing as mx
+
+        return mx.pack_sequences(d, seq_len=512, shards=64).count()
+
+    for name, fn in [
+        ("lsh_verified", lsh_verified),
+        ("simhash_banded", banded),
+        ("dedup_groups_keep_one", groups),
+        ("pack_sequences", packing),
+    ]:
         fn()  # full-plan warmup
         sec, n = timed(fn)
         out[name] = {"sec": sec, "rows": n}
@@ -517,8 +556,11 @@ def main() -> int:
         ("dedup_rate_sampled", "n_docs"),
         ("cdc_chunk_stats", "n_docs"),
         ("domain_reputation", "n_docs"),
+        ("pack_sequences", "n_docs"),
         ("embed_neardup_lsh", "n_vecs"),
         ("knn_bruteforce", "n_vecs"),
+        ("semantic_dedup", "n_vecs"),
+        ("knn_pq", "n_vecs"),
     ):
         ratio = hi[name]["sec"] / max(lo[name]["sec"], 1e-9)
         lines.append(
@@ -589,6 +631,18 @@ def main() -> int:
         "dedup_rate_sampled (1/16 hash-bucket sample of the gram stream, "
         "single scan) are the corpus-health passes: both shuffle a "
         "bounded fraction of the gram volume, so ~linear.",
+        "",
+        "**Round-6b operators**: pack_sequences (one hash exchange + "
+        "shard-local running sum; ideal ~4x).  semantic_dedup runs with "
+        "k ~ sqrt(N) clusters, which balances the O(N*k) assignment fold "
+        "against the O(N^2/k) within-cluster pair scan -- BOTH terms are "
+        "then ~N^1.5, so this operator's IDEAL 4x-data ratio is ~8, not "
+        "4 (SemDeDup's intrinsic exponent; the measured ratio should sit "
+        "near 8, far from the ~16 of a flat all-pairs scan).  knn_pq "
+        "(4x8 codebooks, ADC over distinct code tuples, exact rerank of "
+        "the 50-shortlist) is ~linear end-to-end: training is O(N x "
+        "ksub) per subspace and the cosine count is bounded by "
+        "|distinct tuples| x |queries|, not N x Q.",
         "",
         "**The groups path measures the PRODUCTION shape** (r2 verdict "
         "asks #1-#2, closed in round 3): LSH candidates -> exact-Jaccard "
