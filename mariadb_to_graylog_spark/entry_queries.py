@@ -3588,6 +3588,75 @@ FROM s
 """
 
 
+def q_corpus_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row effective-dataset-size report: total docs/tokens, the
+    exact-dup excess a dedup pass deletes, the low-quality mass the
+    quality gate cuts among survivors, and what is left -- the headline
+    numbers a curation dashboard shows.  Non-overlapping accounting:
+    dup excess first (non-min-id group members), then quality (< 0.5)
+    among the keepers.  All exact integer sums; one md5-key exchange."""
+    d = docs_with_exact_dups(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        tx.token_count(F.col("text")).cast("long").alias("_t"),
+        (tx.quality_score(F.col("text")) >= 0.5).alias("_ok"),
+    )
+    w = Window.partitionBy("_h")
+    flags = keyed.select(
+        "_t",
+        "_ok",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_keep"),
+    )
+    zero = F.lit(0).cast("long")
+
+    def csum(cond, val):
+        return F.coalesce(F.sum(F.when(cond, val)), zero).cast("long")
+
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+        csum(~F.col("_keep"), F.lit(1)).alias("dup_excess_docs"),
+        csum(~F.col("_keep"), F.col("_t")).alias("dup_excess_tokens"),
+        csum(F.col("_keep") & ~F.col("_ok"), F.lit(1)).alias("low_quality_docs"),
+        csum(F.col("_keep") & ~F.col("_ok"), F.col("_t")).alias(
+            "low_quality_tokens"
+        ),
+        csum(F.col("_keep") & F.col("_ok"), F.lit(1)).alias("effective_docs"),
+        csum(F.col("_keep") & F.col("_ok"), F.col("_t")).alias(
+            "effective_tokens"
+        ),
+    )
+
+
+ORACLE_CORPUS_ACCOUNTING = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+qi AS (
+  SELECT doc_id,
+{_SQL_QUALITY_INPUTS}
+  FROM d
+),
+k AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         CAST(len(regexp_extract_all(lower(d.text), '([a-z0-9]+)', 1)) AS BIGINT) AS t,
+         ({_SQL_QUALITY_EXPR} >= 0.5) AS ok
+  FROM d JOIN qi ON qi.doc_id = d.doc_id
+),
+m AS (
+  SELECT t, ok, (doc_id = MIN(doc_id) OVER (PARTITION BY h)) AS keep FROM k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT) AS dup_excess_docs,
+       CAST(COALESCE(SUM(CASE WHEN NOT keep THEN t END), 0) AS BIGINT) AS dup_excess_tokens,
+       CAST(COALESCE(SUM(CASE WHEN keep AND NOT ok THEN 1 END), 0) AS BIGINT) AS low_quality_docs,
+       CAST(COALESCE(SUM(CASE WHEN keep AND NOT ok THEN t END), 0) AS BIGINT) AS low_quality_tokens,
+       CAST(COALESCE(SUM(CASE WHEN keep AND ok THEN 1 END), 0) AS BIGINT) AS effective_docs,
+       CAST(COALESCE(SUM(CASE WHEN keep AND ok THEN t END), 0) AS BIGINT) AS effective_tokens
+FROM m
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dedup: same verified-pair connected components
     as ``dedup_groups``, but the survivor is the highest-quality cluster
@@ -4013,6 +4082,7 @@ TRAINING_QUERIES = {
     "knn_pq": q_knn_pq,
     "token_fertility": q_token_fertility,
     "key_skew": q_key_skew,
+    "corpus_accounting": q_corpus_accounting,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4083,6 +4153,7 @@ TRAINING_ORACLES = {
     "knn_pq": ORACLE_KNN_PQ,
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "key_skew": ORACLE_KEY_SKEW,
+    "corpus_accounting": ORACLE_CORPUS_ACCOUNTING,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4124,6 +4195,7 @@ _DRIVER_PRIORITY = [
     "knn_pq",
     "token_fertility",
     "key_skew",
+    "corpus_accounting",
     "curation_trim_pipeline",
     # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
     "decontaminate_extents",

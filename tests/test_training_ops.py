@@ -2907,3 +2907,20 @@ def test_key_skew_stats_ranks_heavy_hitters(spark):
     assert out[0]["key"] == "hot" and out[0]["cnt"] == 80
     assert out[0]["share_ppm"] == 800_000  # exact integer ppm
     assert out[1]["cnt"] == 5 and out[1]["key"] == "k0"  # tie -> lexical
+
+
+def test_corpus_accounting_conservation(spark):
+    """The three lanes partition the corpus exactly: dup excess +
+    low-quality keepers + effective == totals, for docs AND tokens;
+    the planted exact dups guarantee nonzero excess."""
+    from mariadb_to_graylog_spark.entry_queries import TRAINING_QUERIES
+
+    r = TRAINING_QUERIES["corpus_accounting"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert (r["dup_excess_docs"] + r["low_quality_docs"]
+            + r["effective_docs"]) == r["n_docs"]
+    assert (r["dup_excess_tokens"] + r["low_quality_tokens"]
+            + r["effective_tokens"]) == r["n_tokens"]
+    assert r["dup_excess_docs"] > 0
+    assert r["effective_tokens"] > 0
