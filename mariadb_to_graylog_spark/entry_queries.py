@@ -1495,6 +1495,141 @@ FROM r WHERE rk <= {k}
 ORACLE_KNN_PQ = _pq_oracle_sql(m=4, ksub=8, iters=2, dim=64, k=3, rerank=50)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC): 8-centroid coarse quantizer prunes to nprobe=2
+    inverted lists; 4x8 product quantization over the coarse RESIDUALS
+    (not the raw vectors -- residuals carry less variance, so the same
+    code budget quantizes tighter); ADC scored once per distinct
+    (bucket, code) tuple; exact-cosine rerank of the 50-shortlist."""
+    e = _embeddings(spark, sf_dir)
+    return sim.knn_ivfpq(
+        e, F.col("vec_id") < 10, n_coarse=8, coarse_iters=2,
+        m=4, ksub=8, pq_iters=2, dim=64, k=3, nprobe=2, rerank=50,
+    )
+
+
+def _ivfpq_oracle_sql(
+    n_coarse: int = 8, coarse_iters: int = 2, m: int = 4, ksub: int = 8,
+    pq_iters: int = 2, dim: int = 64, k: int = 3, nprobe: int = 2,
+    rerank: int = 0, round_digits: int = 6,
+) -> str:
+    """Coarse trainer (prefix ``g``) -> residual CTE (element-wise
+    subtraction, unrolled) -> m prefixed sub-trainers over residual
+    slices -> reconstruction = coarse centroid + decoded residual ->
+    probe-limited ADC ranking -> exact rerank.  Every stage reuses the
+    shared ``_kmeans_train_ctes`` block so cluster labels cannot drift
+    from the Spark twins."""
+    dsub = dim // m
+    gi, cos = coarse_iters, _raw_cos_sql
+    parts = [
+        _kmeans_train_ctes(
+            n_coarse, coarse_iters, dim, round_digits,
+            source_sql="SELECT vec_id, embedding FROM embeddings",
+            prefix="g", leading_with=True,
+        )
+    ]
+    sub_res = ", ".join(
+        f"f.embedding[{i + 1}] - cb.cv[{i + 1}]" for i in range(dim)
+    )
+    parts.append(f""",
+res AS (
+  SELECT f.vec_id, list_value({sub_res}) AS embedding, f.bucket
+  FROM gfin f JOIN gc{gi} cb ON cb.cid = f.bucket
+)""")
+    for j in range(m):
+        parts.append(
+            _kmeans_train_ctes(
+                ksub, pq_iters, dsub, round_digits,
+                source_sql=(
+                    f"SELECT vec_id, embedding[{j * dsub + 1}:{(j + 1) * dsub}]"
+                    " AS embedding FROM res"
+                ),
+                prefix=f"p{j}", leading_with=False,
+            )
+        )
+    fin_joins = "".join(
+        f"\n  JOIN p{j}fin f{j} ON f{j}.vec_id = f0.vec_id"
+        for j in range(1, m)
+    )
+    cb_joins = "".join(
+        f"\n  JOIN p{j}c{pq_iters} cb{j} ON cb{j}.cid = f{j}.bucket"
+        for j in range(m)
+    )
+    rres = "cb0.cv"
+    for j in range(1, m):
+        rres = f"list_concat({rres}, cb{j}.cv)"
+    full_add = ", ".join(
+        f"gcb.cv[{i + 1}] + d.rres[{i + 1}]" for i in range(dim)
+    )
+    parts.append(f""",
+decr AS (
+  SELECT f0.vec_id, {rres} AS rres
+  FROM p0fin f0{fin_joins}{cb_joins}
+),
+dec AS (
+  SELECT d.vec_id, r.bucket, list_value({full_add}) AS recon
+  FROM decr d
+  JOIN res r ON r.vec_id = d.vec_id
+  JOIN gc{gi} gcb ON gcb.cid = r.bucket
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, cid AS bucket
+  FROM (SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM gsrc e, gc{gi} c
+        WHERE e.vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         {_cos_sql("q.q_vec", "d.recon", round_digits)} AS cos_sim
+  FROM dec d JOIN qprobe q ON q.bucket = d.bucket
+  WHERE d.vec_id != q.query_id
+)""")
+    if not rerank:
+        parts.append(f""",
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos_sim
+FROM r WHERE rk <= {k}
+""")
+        return "".join(parts)
+    parts.append(f""",
+sl AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS slrk
+  FROM scored
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cos_sql("q.q_vec", "e.embedding", round_digits)} AS cos_sim
+  FROM sl s
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+  JOIN (SELECT DISTINCT query_id, q_vec FROM qprobe) q
+    ON q.query_id = s.query_id
+  WHERE s.slrk <= {rerank}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM ex
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos_sim
+FROM r WHERE rk <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLE_KNN_IVFPQ = _ivfpq_oracle_sql(
+    n_coarse=8, coarse_iters=2, m=4, ksub=8, pq_iters=2, dim=64,
+    k=3, nprobe=2, rerank=50,
+)
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(spark, sf_dir)
     dups = e.filter(F.col("vec_id") % 10 == 0).select(
@@ -4080,6 +4215,7 @@ TRAINING_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "training_manifest": q_training_manifest,
     "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
     "token_fertility": q_token_fertility,
     "key_skew": q_key_skew,
     "corpus_accounting": q_corpus_accounting,
@@ -4151,6 +4287,7 @@ TRAINING_ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "training_manifest": ORACLE_TRAINING_MANIFEST,
     "knn_pq": ORACLE_KNN_PQ,
+    "knn_ivfpq": ORACLE_KNN_IVFPQ,
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "key_skew": ORACLE_KEY_SKEW,
     "corpus_accounting": ORACLE_CORPUS_ACCOUNTING,
@@ -4193,6 +4330,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "training_manifest",
     "knn_pq",
+    "knn_ivfpq",
     "token_fertility",
     "key_skew",
     "corpus_accounting",

@@ -550,6 +550,145 @@ def pq_adc_topk(
     return _topk_window(exact, k)
 
 
+def knn_ivfpq(
+    df: DataFrame,
+    query_filter: Column,
+    n_coarse: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    dim: int = 64,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ composition (the IVFADC index of Jegou et al. 2011, the
+    billion-vector production standard): a coarse quantizer prunes the
+    search to ``nprobe`` inverted lists per query, and product
+    quantization compresses what remains of each vector AFTER the coarse
+    centroid is subtracted -- residuals have far less variance than raw
+    vectors, so the same m x ksub code budget quantizes them with much
+    lower distortion than PQ over raw vectors (``pq_adc_topk``).
+
+    Composition of existing deterministic pieces, shuffle-audited:
+
+    * coarse: ``train_kmeans`` (k x dim partial-sum shuffles only) then
+      the zero-shuffle argmax assignment;
+    * residual: ``vec - coarse_centroid[bucket]``, a map-side ``zip_with``
+      over the broadcast centroid literal -- no shuffle, nothing collected;
+    * codes: ``train_pq`` + ``pq_encode`` over the residual column
+      (m more map-side argmax folds);
+    * ADC with DOUBLE collapse: candidates are scored once per DISTINCT
+      ``(coarse_bucket, code tuple)`` -- bounded by n_coarse x ksub^m
+      regardless of corpus size -- and only for tuples in a query's
+      probed buckets (the bucket equality join against the broadcast
+      exploded (query, probe_bucket) set IS the inverted-list lookup);
+      reconstruction = coarse centroid + decoded residual;
+    * the scored-tuple table broadcast-joins back onto the encoded
+      corpus on (bucket, codes); per-partition partial top-k caps the
+      ranking exchange; optional exact-cosine rerank of the R-shortlist
+      touches R/N of the full-precision vectors, same as the PQ path.
+
+    At 100 TB the corpus never moves: training shuffles k x dim sums,
+    encoding is map-side, and the only per-row join is against two
+    broadcast relations (probe set, scored tuples).
+
+    The residual and encoded frames are MATERIALIZED (``localCheckpoint``)
+    -- exactly what a production IVFADC build does (the index is written
+    once, then queried; FAISS stores codes, never recomputes them).  At
+    cluster scale the checkpoint becomes a table write.  Without it every
+    one of the ~15 training/query jobs re-analyzes the residual
+    expression lineage (codebook-literal ``zip_with`` trees), and
+    driver-side Catalyst analysis -- not data -- dominated wall time 5x."""
+    coarse = train_kmeans(
+        df, n_coarse, coarse_iters, id_col, vec_col, dim, round_digits
+    )
+    assigned = assign_buckets_local(df, coarse, vec_col)
+    res = (
+        assigned.withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col),
+                _codebook_vec_lookup(coarse, F.col("bucket")),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        .select(id_col, "bucket", F.col("_res").alias(vec_col))
+        .localCheckpoint(eager=True)
+    )
+    books = train_pq(
+        res.select(id_col, vec_col),
+        m=m, ksub=ksub, iters=pq_iters, dim=dim,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    )
+    code_cols = [f"code_{j}" for j in range(m)]
+    enc = (
+        pq_encode(res, books, dim, id_col, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), "bucket", *code_cols)
+        .localCheckpoint(eager=True)
+    )
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_buckets_local(coarse, vec_col, nprobe)).alias(
+            "q_bucket"
+        ),
+    )
+    res_recon = F.concat(
+        *[_codebook_vec_lookup(books[j], F.col(code_cols[j])) for j in range(m)]
+    )
+    scored_tuples = (
+        enc.select("bucket", *code_cols)
+        .distinct()
+        .withColumn("_rres", res_recon)
+        .withColumn(
+            "_recon",
+            F.zip_with(
+                _codebook_vec_lookup(coarse, F.col("bucket")),
+                F.col("_rres"),
+                lambda a, b: a + b,
+            ),
+        )
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("q_vec"), F.col("_recon")), round_digits),
+        )
+        .select("bucket", *code_cols, "query_id", "cos_sim")
+    )
+    scored = (
+        enc.join(F.broadcast(scored_tuples), ["bucket", *code_cols])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    if not rerank:
+        return _topk_window(_partial_topk(scored, k), k)
+    shortlist = _topk_window(_partial_topk(scored, rerank), rerank).select(
+        "query_id", "neighbor_id"
+    )
+    true_vecs = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qv = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    exact = (
+        shortlist.join(true_vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return _topk_window(exact, k)
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,

@@ -120,7 +120,7 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # keep-best window over CC labels; k-means bucket pair scan
      "pack_sequences", "source_mixture", "dedup_keep_best",
      "dup_cluster_hist", "semantic_dedup", "training_manifest", "knn_pq",
-     "token_fertility", "key_skew", "corpus_accounting"],
+     "token_fertility", "key_skew", "corpus_accounting", "knn_ivfpq"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

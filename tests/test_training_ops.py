@@ -2909,6 +2909,57 @@ def test_key_skew_stats_ranks_heavy_hitters(spark):
     assert out[1]["cnt"] == 5 and out[1]["key"] == "k0"  # tie -> lexical
 
 
+def test_ivfpq_probe_discipline_and_rerank_dominance(spark, embeds):
+    """IVF-PQ invariants: (a) every returned neighbor lives in one of the
+    query's nprobe probed coarse buckets (the inverted-list contract);
+    (b) the exact-cosine rerank of the shortlist is at least as good
+    against brute force as raw residual-ADC over the same probe pool
+    (re-scoring a superset with the exact metric); (c) end-to-end
+    determinism across runs."""
+    from collections import defaultdict
+
+    from mariadb_to_graylog_spark.operators.similarity import (
+        assign_buckets_local,
+        knn_bruteforce,
+        knn_ivfpq,
+        probe_buckets_local,
+        train_kmeans,
+    )
+
+    e = embeds.select("vec_id", "embedding")
+    kw = dict(n_coarse=8, coarse_iters=2, m=4, ksub=8, pq_iters=2,
+              dim=64, k=3, nprobe=2)
+    qf = F.col("vec_id") < 5
+
+    brute = defaultdict(set)
+    for r in knn_bruteforce(e, qf, k=3).collect():
+        brute[r["query_id"]].add(r["neighbor_id"])
+
+    def recall(rows):
+        got = defaultdict(set)
+        for r in rows:
+            got[r["query_id"]].add(r["neighbor_id"])
+        return sum(len(got[q] & brute[q]) / max(len(brute[q]), 1)
+                   for q in brute) / max(len(brute), 1)
+
+    raw = knn_ivfpq(e, qf, rerank=0, **kw).collect()
+    two1 = knn_ivfpq(e, qf, rerank=40, **kw).collect()
+    two2 = knn_ivfpq(e, qf, rerank=40, **kw).collect()
+    assert sorted(map(tuple, two1)) == sorted(map(tuple, two2))
+    assert recall(two1) >= recall(raw)
+
+    # probe discipline: the trainer is deterministic, so re-deriving the
+    # coarse index here yields the exact buckets the query ran with
+    cents = train_kmeans(e, k=8, iters=2, dim=64)
+    bucket_of = {r["vec_id"]: r["bucket"]
+                 for r in assign_buckets_local(e, cents).collect()}
+    probes = {r["vec_id"]: set(r["p"]) for r in e.filter(qf).select(
+        "vec_id", probe_buckets_local(cents, "embedding", 2).alias("p")
+    ).collect()}
+    for r in raw:
+        assert bucket_of[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
 def test_corpus_accounting_conservation(spark):
     """The three lanes partition the corpus exactly: dup excess +
     low-quality keepers + effective == totals, for docs AND tokens;
