@@ -157,6 +157,7 @@ QUERY_NAMES = [
     "dedup_keep_best",
     "semantic_dedup",
     "knn_pq",
+    "knn_ivfpq",
     "token_rarity",
     "cdc_chunk_stats",
     "url_extract",
@@ -319,6 +320,44 @@ def main() -> int:
                 len(brute & got) / max(len(brute), 1), 4
             )
         extras["pq_recall_curve"] = pq_curve
+
+        # IVF-PQ (residual PQ under a coarse quantizer) vs raw PQ at the
+        # SAME code budget (m=4, ksub=8) and same rerank=50: documents
+        # what quantizing residuals (lower variance) buys in recall.
+        # The oracle query IS the rerank=50 point; rerank=0 shows raw
+        # residual-ADC quality before the exact pass.
+        from mariadb_to_graylog_spark.operators.similarity import knn_ivfpq
+
+        ivfpq_curve = {}
+        for rr in (0, 50):
+            if rr == 50:
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in eq.ALL_QUERIES["knn_ivfpq"](
+                        spark, args.sf_dir
+                    ).collect()
+                }
+            else:
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in knn_ivfpq(
+                        e,
+                        F.col("vec_id") < 10,
+                        n_coarse=8,
+                        coarse_iters=2,
+                        m=4,
+                        ksub=8,
+                        pq_iters=2,
+                        dim=64,
+                        k=3,
+                        nprobe=2,
+                        rerank=rr,
+                    ).collect()
+                }
+            ivfpq_curve[f"rerank_{rr}"] = round(
+                len(brute & got) / max(len(brute), 1), 4
+            )
+        extras["ivfpq_recall_curve"] = ivfpq_curve
 
     total = round(sum(queries.values()), 3)
     print(
