@@ -637,6 +637,71 @@ GROUP BY n_name
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h inactivity threshold) over the event
+    stream: one row per (user, session) with event count, wall duration,
+    error count, start epoch.  One hash exchange on user_id feeds both
+    the lag() boundary pass and the per-session aggregate."""
+    from mariadb_to_graylog_spark.operators.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_sec=21600)
+
+
+ORACLE_SESSION_STATS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+b AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM b
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       CAST(MIN(sec) AS BIGINT) AS start_epoch
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (funnel / first-order Markov
+    table): (prev_type, type) counts + exact integer-ppm share within
+    prev_type; stream starts contribute a synthetic '_start' state."""
+    from mariadb_to_graylog_spark.operators.sessions import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                  '_start') AS prev_type,
+         event_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST(floor(n * 1000000.0 / SUM(n) OVER (PARTITION BY prev_type))
+            AS BIGINT) AS share_ppm
+FROM c
+"""
+
+
 LOG_QUERIES = {
     "errorlog_entries": q_errorlog_entries,
     "errorlog_intended": q_errorlog_intended,
@@ -651,6 +716,8 @@ LOG_QUERIES = {
     "counters": q_counters,
     "tpch_pricing": q_tpch_pricing,
     "join_enrich": q_join_enrich,
+    "session_stats": q_session_stats,
+    "event_transitions": q_event_transitions,
 }
 
 LOG_ORACLES = {
@@ -667,6 +734,8 @@ LOG_ORACLES = {
     "counters": ORACLE_COUNTERS,
     "tpch_pricing": ORACLE_TPCH_PRICING,
     "join_enrich": ORACLE_JOIN_ENRICH,
+    "session_stats": ORACLE_SESSION_STATS,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }
 
 
@@ -4313,6 +4382,8 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "session_stats",
+    "event_transitions",
     "crosslingual_near_dup",
     "quality_threshold_sweep",
     "decontaminate_coverage",

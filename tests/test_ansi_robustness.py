@@ -120,7 +120,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # keep-best window over CC labels; k-means bucket pair scan
      "pack_sequences", "source_mixture", "dedup_keep_best",
      "dup_cluster_hist", "semantic_dedup", "training_manifest", "knn_pq",
-     "token_fertility", "key_skew", "corpus_accounting", "knn_ivfpq"],
+     "token_fertility", "key_skew", "corpus_accounting", "knn_ivfpq",
+     # round 6c: epoch-second lag windows (timestamp_ntz cast under ANSI)
+     "session_stats", "event_transitions"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's
