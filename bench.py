@@ -153,6 +153,9 @@ QUERY_NAMES = [
     "dedup_rate_sampled",
     "unigram_surprisal",
     "incremental_dedup",
+    "bloom_prefilter",
+    "session_stats",
+    "event_transitions",
     "pack_sequences",
     "dedup_keep_best",
     "semantic_dedup",

@@ -3861,6 +3861,129 @@ FROM m
 """
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-membership ingest prefilter (the scale path in front of
+    ``incremental_dedup``'s exact lane): the corpus's md5 keys collapse
+    to a DISTINCT set-bit table (<= m rows no matter the corpus size;
+    broadcast at m = 2^20, ~8 MB), each batch row probes it with k=3
+    broadcast joins -- no batch shuffle, no corpus join -- and ONLY
+    bloom-positive rows reach the exact md5 verify.  One-row report:
+    batch size, positives, true dups, false positives, fill ratio.
+
+    No-false-negative invariant (every exact dup IS bloom-positive) is
+    guaranteed by construction and asserted in tests; the fill/FP
+    columns are what an operator watches to resize m."""
+    m_bits, k = 1 << 20, 3
+    d = docs_with_exact_dups(spark, sf_dir)
+    is_new = (F.col("doc_id") % 7 == 3) | (F.col("doc_id") >= 100000)
+    new = d.filter(is_new)
+    corpus = d.filter(~is_new)
+    bloom = dd.bloom_build(corpus, F.col("text"), m_bits, k)
+    probed = dd.bloom_probe(new, bloom, F.col("text"), m_bits, k)
+    ch = corpus.select(F.md5("text").alias("_h")).distinct().withColumn(
+        "_e", F.lit(1)
+    )
+    verified = (
+        probed.filter(F.col("bloom_positive"))
+        .withColumn("_h", F.md5("text"))
+        .join(ch, "_h", "left")
+        .select("doc_id", F.col("_e").isNotNull().alias("_dup"))
+    )
+    # join-free one-row report: each lane emits (name, value) rows, one
+    # conditional aggregate pivots them (a constant-key join of one-row
+    # frames constant-folds into a BNLJ; a union never joins at all)
+    def _narrow(agg_df, names):
+        pairs = []
+        for n in names:
+            pairs += [F.lit(n), F.col(n).cast("long")]
+        return agg_df.select(F.explode(F.create_map(*pairs)).alias("m", "v"))
+
+    lanes = (
+        _narrow(
+            probed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_batch"),
+                F.sum(F.col("bloom_positive").cast("long")).alias(
+                    "n_positive"
+                ),
+            ),
+            ["n_batch", "n_positive"],
+        )
+        .unionByName(
+            _narrow(
+                verified.agg(
+                    F.sum(F.col("_dup").cast("long")).alias("n_exact_dup"),
+                    F.sum((~F.col("_dup")).cast("long")).alias("n_false_pos"),
+                ),
+                ["n_exact_dup", "n_false_pos"],
+            )
+        )
+        .unionByName(
+            _narrow(
+                bloom.agg(F.count(F.lit(1)).cast("long").alias("bits_set")),
+                ["bits_set"],
+            )
+        )
+    )
+
+    def _pick(n: str):
+        return F.max(F.when(F.col("m") == n, F.col("v"))).alias(n)
+
+    return lanes.groupBy().agg(
+        _pick("n_batch"),
+        _pick("n_positive"),
+        _pick("n_exact_dup"),
+        _pick("n_false_pos"),
+        _pick("bits_set"),
+    ).withColumn(
+        "fill_ppm",
+        F.floor(F.col("bits_set") * 1000000 / F.lit(m_bits)).cast("long"),
+    )
+
+
+ORACLE_BLOOM_PREFILTER = f"""
+WITH d AS ({_SQL_EXACT_DUPS}),
+new_ AS (SELECT * FROM d WHERE doc_id % 7 = 3 OR doc_id >= 100000),
+corp AS (SELECT * FROM d WHERE NOT (doc_id % 7 = 3 OR doc_id >= 100000)),
+cpos AS (
+  SELECT DISTINCT unnest([
+    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1048576,
+    CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1048576,
+    CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) % 1048576]) AS pos
+  FROM corp
+),
+probe AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1048576 AS p0,
+         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1048576 AS p1,
+         CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) % 1048576 AS p2
+  FROM new_
+),
+flags AS (
+  SELECT doc_id, h,
+         p0 IN (SELECT pos FROM cpos)
+         AND p1 IN (SELECT pos FROM cpos)
+         AND p2 IN (SELECT pos FROM cpos) AS positive
+  FROM probe
+),
+ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
+v AS (
+  SELECT f.doc_id, (ch.h IS NOT NULL) AS dup
+  FROM flags f LEFT JOIN ch ON ch.h = f.h
+  WHERE f.positive
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM flags) AS n_batch,
+       (SELECT CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+        FROM flags) AS n_positive,
+       (SELECT CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) FROM v)
+         AS n_exact_dup,
+       (SELECT CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) FROM v)
+         AS n_false_pos,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cpos) AS bits_set,
+       (SELECT CAST(floor(COUNT(*) * 1000000.0 / 1048576) AS BIGINT)
+        FROM cpos) AS fill_ppm
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dedup: same verified-pair connected components
     as ``dedup_groups``, but the survivor is the highest-quality cluster
@@ -4288,6 +4411,7 @@ TRAINING_QUERIES = {
     "token_fertility": q_token_fertility,
     "key_skew": q_key_skew,
     "corpus_accounting": q_corpus_accounting,
+    "bloom_prefilter": q_bloom_prefilter,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4360,6 +4484,7 @@ TRAINING_ORACLES = {
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "key_skew": ORACLE_KEY_SKEW,
     "corpus_accounting": ORACLE_CORPUS_ACCOUNTING,
+    "bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4382,6 +4507,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "bloom_prefilter",
     "session_stats",
     "event_transitions",
     "crosslingual_near_dup",

@@ -1905,3 +1905,95 @@ def winnow_overlap_pairs(
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"), "overlap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (incremental ingest at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(
+    key: Column, m_bits: int = 1 << 20, k: int = 3
+) -> Column:
+    """``k`` bloom bit positions for a key, derived from disjoint 32-bit
+    slices of ONE md5 (standard k-hashes-from-one-digest construction):
+    position_i = int(md5_hex[8i .. 8i+7]) % m_bits.
+
+    Portable by the same rule as :func:`h32`: DuckDB computes the
+    identical positions as ``('0x' || substr(md5(key), 1+8*i, 8))::BIGINT
+    % m_bits``.  One digest per row, map-side, zero shuffle.
+    """
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 yields four 32-bit slices)")
+    h = F.md5(key)
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: Column,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """The corpus side of the bloom filter as a DISTINCT set-bit table
+    (one ``pos`` long per set bit, <= m_bits rows REGARDLESS of corpus
+    size -- the same bounded-collapse trick as the PQ distinct-code
+    table).  At m = 2^20 that is at most ~8 MB: broadcastable, and the
+    build is one map-side digest pass + one distinct on a long.
+
+    Sizing (docstring math, enforced nowhere -- the fill ratio is
+    REPORTED by :func:`bloom_prefilter_report` so the operator tells you
+    when it's saturating): false-positive rate ~= fill^k where
+    fill = set_bits / m_bits; n keys set at most k*n bits, so for
+    10^9 keys at k=3 you want m >= 2^33 -- beyond one broadcast, at
+    which point the same code runs with the set-bit table left
+    DISTRIBUTED (the joins below become shuffle hash joins partitioned
+    by pos), or sharded by key range so each shard's bloom stays
+    broadcast-sized.  The point of the prefilter is unchanged: the
+    EXPENSIVE verify (full-key join against the corpus) only ever sees
+    bloom-positive rows.
+    """
+    out = df.select(
+        F.explode(bloom_positions(key_col, m_bits, k)).alias("pos")
+    ).distinct()
+    # the filter is an INDEX: built once, probed many times (k joins +
+    # fill-ratio report).  Same materialization rule as the IVF-PQ code
+    # table -- localCheckpoint here, a table write at cluster scale.
+    # materialize=False keeps the lazy lineage for single-use callers.
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: Column,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    out_col: str = "bloom_positive",
+) -> DataFrame:
+    """Probe each batch row against the set-bit table: positive iff ALL
+    ``k`` positions are set.  k broadcast hash joins on ``pos`` (the same
+    broadcast relation reused), NO exchange on the batch side and no
+    explode -- the batch never shuffles."""
+    out = batch.withColumn("_bp", bloom_positions(key_col, m_bits, k))
+    flags = []
+    for i in range(k):
+        side = F.broadcast(
+            bloom.select(F.col("pos").alias(f"_set{i}"))
+        )
+        out = out.join(
+            side, F.element_at(F.col("_bp"), i + 1) == F.col(f"_set{i}"), "left"
+        )
+        flags.append(F.col(f"_set{i}").isNotNull())
+    positive = flags[0]
+    for f in flags[1:]:
+        positive = positive & f
+    return out.withColumn(out_col, positive).drop(
+        "_bp", *[f"_set{i}" for i in range(k)]
+    )

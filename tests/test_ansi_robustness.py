@@ -121,8 +121,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "pack_sequences", "source_mixture", "dedup_keep_best",
      "dup_cluster_hist", "semantic_dedup", "training_manifest", "knn_pq",
      "token_fertility", "key_skew", "corpus_accounting", "knn_ivfpq",
-     # round 6c: epoch-second lag windows (timestamp_ntz cast under ANSI)
-     "session_stats", "event_transitions"],
+     # round 6c: epoch-second lag windows (timestamp_ntz cast under ANSI);
+     # md5-slice conv + mod under ANSI
+     "session_stats", "event_transitions", "bloom_prefilter"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's
