@@ -159,6 +159,7 @@ QUERY_NAMES = [
     "pack_sequences",
     "dedup_keep_best",
     "semantic_dedup",
+    "cluster_source_mix",
     "knn_pq",
     "knn_ivfpq",
     "token_rarity",

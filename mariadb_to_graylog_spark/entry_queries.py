@@ -3861,6 +3861,69 @@ FROM m
 """
 
 
+def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus composition: deterministic k-means clusters over
+    the embedding corpus joined to the document dim on id, rolled up to
+    (cluster, source) with exact counts and integer-ppm shares within
+    cluster and corpus -- the topic-balance table a mixing run reads
+    next to ``source_mixture`` (which weighs sources by TOKENS; this
+    weighs them by semantic CLUSTER).
+
+    Scale shape: training shuffles k x dim partial sums only
+    (``train_kmeans``), assignment is the zero-shuffle flat-literal
+    argmax, the id join co-partitions two huge tables on their key
+    (bucketable upstream), and after it only (bucket, source) pairs
+    move.  Shares are derived from the <= k x |sources| count table."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    cents = sim.train_kmeans(e, 8, 2, "vec_id", "embedding", 64)
+    assigned = sim.assign_buckets_local(e, cents, "embedding").select(
+        "vec_id", "bucket"
+    )
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    counts = (
+        assigned.join(d, "vec_id")
+        .groupBy("bucket", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_cluster = Window.partitionBy("bucket")
+    w_all = Window.partitionBy()
+    return counts.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "source",
+        "n",
+        F.floor(F.col("n") * 1000000 / F.sum("n").over(w_cluster))
+        .cast("long")
+        .alias("cluster_share_ppm"),
+        F.floor(F.col("n") * 1000000 / F.sum("n").over(w_all))
+        .cast("long")
+        .alias("corpus_share_ppm"),
+    )
+
+
+ORACLE_CLUSTER_SOURCE_MIX = (
+    _kmeans_train_ctes(n_centroids=8, iters=2, dim=64)
+    + """,
+m AS (
+  SELECT f.bucket, d.source
+  FROM fin f JOIN documents d ON d.doc_id = f.vec_id
+),
+c AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, source,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM m GROUP BY 1, 2
+)
+SELECT bucket, source, n,
+       CAST(floor(n * 1000000.0 / SUM(n) OVER (PARTITION BY bucket))
+            AS BIGINT) AS cluster_share_ppm,
+       CAST(floor(n * 1000000.0 / SUM(n) OVER ()) AS BIGINT)
+         AS corpus_share_ppm
+FROM c
+"""
+)
+
+
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-membership ingest prefilter (the scale path in front of
     ``incremental_dedup``'s exact lane): the corpus's md5 keys collapse
@@ -4412,6 +4475,7 @@ TRAINING_QUERIES = {
     "key_skew": q_key_skew,
     "corpus_accounting": q_corpus_accounting,
     "bloom_prefilter": q_bloom_prefilter,
+    "cluster_source_mix": q_cluster_source_mix,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4485,6 +4549,7 @@ TRAINING_ORACLES = {
     "key_skew": ORACLE_KEY_SKEW,
     "corpus_accounting": ORACLE_CORPUS_ACCOUNTING,
     "bloom_prefilter": ORACLE_BLOOM_PREFILTER,
+    "cluster_source_mix": ORACLE_CLUSTER_SOURCE_MIX,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4507,6 +4572,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "cluster_source_mix",
     "bloom_prefilter",
     "session_stats",
     "event_transitions",

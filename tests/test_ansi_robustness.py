@@ -123,7 +123,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "token_fertility", "key_skew", "corpus_accounting", "knn_ivfpq",
      # round 6c: epoch-second lag windows (timestamp_ntz cast under ANSI);
      # md5-slice conv + mod under ANSI
-     "session_stats", "event_transitions", "bloom_prefilter"],
+     "session_stats", "event_transitions", "bloom_prefilter",
+     "cluster_source_mix"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -2975,3 +2975,30 @@ def test_corpus_accounting_conservation(spark):
             + r["effective_tokens"]) == r["n_tokens"]
     assert r["dup_excess_docs"] > 0
     assert r["effective_tokens"] > 0
+
+
+def test_cluster_source_mix_conserves(spark):
+    """Counts partition the joined corpus; ppm shares are floor-exact:
+    per-cluster shares sum to (1e6 - rounding slack), corpus shares
+    likewise, and every embedding with a matching doc is counted once."""
+    from mariadb_to_graylog_spark.entry_queries import TRAINING_QUERIES
+
+    rows = TRAINING_QUERIES["cluster_source_mix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    n_total = sum(r["n"] for r in rows)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expected = e.join(
+        d.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+    ).count()
+    assert n_total == expected
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["bucket"], []).append(r)
+    for b, rs in by_cluster.items():
+        s = sum(r["cluster_share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000, b
+    s = sum(r["corpus_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
