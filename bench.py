@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "dedup_keep_best",
     "semantic_dedup",
     "cluster_source_mix",
+    "embedding_drift",
     "knn_pq",
     "knn_ivfpq",
     "token_rarity",

@@ -3861,6 +3861,37 @@ FROM m
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch semantic drift: batch mean embedding vs corpus
+    mean (cosine + norm), batches = vec_id % 4.  The embedding-space
+    twin of ``novelty_by_batch``."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return sim.embedding_drift(e, n_batches=4, dim=64)
+
+
+def _embedding_drift_oracle_sql(n_batches: int = 4, dim: int = 64) -> str:
+    avg_list = ", ".join(
+        f"round(avg(embedding[{j + 1}]), 6)" for j in range(dim)
+    )
+    cos = _raw_cos_sql("bv", "cv")
+    return f"""
+WITH bm AS (
+  SELECT CAST(vec_id % {n_batches} AS BIGINT) AS batch,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         list_value({avg_list}) AS bv
+  FROM embeddings GROUP BY 1
+),
+cm AS (SELECT list_value({avg_list}) AS cv FROM embeddings)
+SELECT batch, n_vecs,
+       round({cos}, 6) AS cos_to_corpus,
+       round(sqrt({_DOT.format(a="bv", b="bv")}), 6) AS mean_norm
+FROM bm, cm
+"""
+
+
+ORACLE_EMBEDDING_DRIFT = _embedding_drift_oracle_sql()
+
+
 def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic corpus composition: deterministic k-means clusters over
     the embedding corpus joined to the document dim on id, rolled up to
@@ -4476,6 +4507,7 @@ TRAINING_QUERIES = {
     "corpus_accounting": q_corpus_accounting,
     "bloom_prefilter": q_bloom_prefilter,
     "cluster_source_mix": q_cluster_source_mix,
+    "embedding_drift": q_embedding_drift,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4550,6 +4582,7 @@ TRAINING_ORACLES = {
     "corpus_accounting": ORACLE_CORPUS_ACCOUNTING,
     "bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "cluster_source_mix": ORACLE_CLUSTER_SOURCE_MIX,
+    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4572,6 +4605,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "embedding_drift",
     "cluster_source_mix",
     "bloom_prefilter",
     "session_stats",

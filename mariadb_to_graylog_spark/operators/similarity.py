@@ -886,3 +886,47 @@ def cosine_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim")
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    n_batches: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distribution-shift monitor across ingest batches: per-batch mean
+    embedding vs the corpus mean, as cosine (direction drift) + mean-
+    vector norm (concentration: a batch of near-identical vectors keeps
+    norm high; a diffuse batch's mean shrinks toward 0).
+
+    The semantic twin of ``dedup.gram_novelty_trend`` -- that one asks
+    "are these BYTES new", this asks "is this batch pointing somewhere
+    new in embedding space".
+
+    Scale shape: two aggregation-only passes (per-batch and corpus
+    component means -- the same k x dim partial-sum shuffle as one Lloyd
+    step in ``train_kmeans``), then the 1 x dim corpus mean rides in as
+    a FLAT LITERAL (the k-means centroid idiom: collected driver-side,
+    documented-small) so the comparison is map-side over <= n_batches
+    rows.  No joins, vectors never shuffle.  Per-component rounding
+    before the cosine keeps the values engine-portable (fp sum order)."""
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    bm = (
+        df.withColumn("_b", F.col(id_col) % n_batches)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"), *aggs)
+    )
+    corpus = df.agg(*aggs).collect()[0]
+    cm = F.lit([float(corpus[f"c{i}"]) for i in range(dim)])
+    bv = F.array(*[F.col(f"c{i}") for i in range(dim)])
+    return bm.select(
+        F.col("_b").cast("long").alias("batch"),
+        "n_vecs",
+        F.round(cosine(bv, cm), round_digits).alias("cos_to_corpus"),
+        F.round(norm(bv), round_digits).alias("mean_norm"),
+    )

@@ -3002,3 +3002,36 @@ def test_cluster_source_mix_conserves(spark):
         assert 1_000_000 - len(rs) < s <= 1_000_000, b
     s = sum(r["corpus_share_ppm"] for r in rows)
     assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_embedding_drift_flags_planted_shift(spark):
+    """A batch whose vectors all point along a planted direction must
+    score LOWER cosine-to-corpus than unshifted batches; identical
+    batches score ~1.0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.similarity import embedding_drift
+
+    rng = random.Random(7)
+    dim = 8
+
+    def vec(shifted):
+        # noise + a strong base direction: axis 1 for the three normal
+        # batches, the ORTHOGONAL axis 0 for the drifted one
+        v = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+        v[0 if shifted else 1] += 5.0
+        return v
+
+    rows = [(i, vec(i % 4 == 3)) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.batch: r for r in embedding_drift(df, n_batches=4, dim=dim).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(got[b].n_vecs == 100 for b in got)
+    shifted, normal = got[3], [got[0], got[1], got[2]]
+    # the orthogonal batch points away from the corpus consensus
+    assert all(shifted.cos_to_corpus < n.cos_to_corpus - 0.3 for n in normal)
+    # concentration is comparable (same base magnitude) -- drift shows
+    # in DIRECTION, which is why the monitor reports cosine, not norm
+    assert 0.5 < shifted.mean_norm / max(n.mean_norm for n in normal) < 2.0
