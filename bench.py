@@ -154,6 +154,7 @@ QUERY_NAMES = [
     "unigram_surprisal",
     "incremental_dedup",
     "bloom_prefilter",
+    "prefix_dup_stats",
     "session_stats",
     "event_transitions",
     "pack_sequences",

@@ -3861,6 +3861,58 @@ FROM m
 """
 
 
+def q_prefix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-family detection: documents + planted truncated
+    re-crawls (first 12 normalized tokens of every 6th doc, new id);
+    families keyed by the md5 of the normalized 10-token prefix."""
+    d = _documents(spark, sf_dir)
+    toks = F.split(tx.normalize_text(F.col("text")), " ")
+    trunc = d.filter(F.col("doc_id") % 6 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 12), " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = d.unionByName(trunc)
+    return dd.prefix_dup_stats(both, k_tokens=10, min_docs=2).select(
+        "prefix_h",
+        "n_docs",
+        "n_variants",
+        F.col("min_doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
+ORACLE_PREFIX_DUP_STATS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(list_slice(
+           str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+           1, 12), ' ')
+  FROM documents WHERE doc_id % 6 = 1
+),
+s AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(str_split(s, ' '), 1, 10), ' '))
+           AS prefix_h,
+         md5(s) AS full_h
+  FROM s
+  WHERE len(str_split(s, ' ')) >= 10
+)
+SELECT prefix_h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT full_h) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM k GROUP BY prefix_h HAVING COUNT(*) >= 2
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-ingest-batch semantic drift: batch mean embedding vs corpus
     mean (cosine + norm), batches = vec_id % 4.  The embedding-space
@@ -4508,6 +4560,7 @@ TRAINING_QUERIES = {
     "bloom_prefilter": q_bloom_prefilter,
     "cluster_source_mix": q_cluster_source_mix,
     "embedding_drift": q_embedding_drift,
+    "prefix_dup_stats": q_prefix_dup_stats,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4583,6 +4636,7 @@ TRAINING_ORACLES = {
     "bloom_prefilter": ORACLE_BLOOM_PREFILTER,
     "cluster_source_mix": ORACLE_CLUSTER_SOURCE_MIX,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+    "prefix_dup_stats": ORACLE_PREFIX_DUP_STATS,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4605,6 +4659,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "prefix_dup_stats",
     "embedding_drift",
     "cluster_source_mix",
     "bloom_prefilter",

@@ -1997,3 +1997,46 @@ def bloom_probe(
     return out.withColumn(out_col, positive).drop(
         "_bp", *[f"_set{i}" for i in range(k)]
     )
+
+
+def prefix_dup_stats(
+    df: DataFrame,
+    k_tokens: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Truncation/pagination duplicate families: documents sharing an
+    identical normalized first-``k_tokens`` prefix (the crawl pathology
+    exact dedup misses -- a page and its truncated re-crawl differ as
+    wholes but are the same document cut short; Lee et al.'s suffix work
+    catches it as substring overlap at ~100x the cost).
+
+    One row per family with >= ``min_docs`` members: member count,
+    DISTINCT full-text variants (1 == pure exact dups of each other;
+    >1 == genuine truncation/continuation family), lowest member id as
+    the canonical survivor.
+
+    Scale: map-side normalize + slice + md5; ONE exchange of
+    (prefix_h, full_h, id) 72-byte tuples; text never shuffles.  The
+    two-level count/count_distinct is a partial-agg'd groupBy on the
+    32-byte prefix key."""
+    from mariadb_to_graylog_spark.operators.textstats import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    keyed = df.filter(F.size(toks) >= k_tokens).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(F.slice(toks, 1, k_tokens), " ")).alias(
+            "prefix_h"
+        ),
+        F.md5(normalize_text(F.col(text_col))).alias("_full"),
+    )
+    return (
+        keyed.groupBy("prefix_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("_full").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

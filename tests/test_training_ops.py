@@ -3035,3 +3035,27 @@ def test_embedding_drift_flags_planted_shift(spark):
     # concentration is comparable (same base magnitude) -- drift shows
     # in DIRECTION, which is why the monitor reports cosine, not norm
     assert 0.5 < shifted.mean_norm / max(n.mean_norm for n in normal) < 2.0
+
+
+def test_prefix_dup_planted_truncations(spark):
+    """Planted truncations: the full doc and its 12-token cut share a
+    10-token prefix family (n_variants=2); an exact re-crawl collapses
+    to n_variants=1; unrelated docs form no family."""
+    from pyspark.sql import functions as F
+
+    from mariadb_to_graylog_spark.operators.dedup import prefix_dup_stats
+
+    words = lambda n, tag: " ".join(f"{tag}{i % 7}tok{i}" for i in range(n))
+    rows = [
+        (1, words(40, "a")),                      # original
+        (2, " ".join(words(40, "a").split()[:12])),  # truncated re-crawl
+        (3, words(40, "b")),                      # original
+        (4, words(40, "b")),                      # EXACT dup
+        (5, words(40, "c")),                      # lone doc
+        (6, "short doc"),                         # < k tokens: ineligible
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.min_doc_id: r for r in prefix_dup_stats(df, k_tokens=10).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_docs, got[1].n_variants) == (2, 2)  # truncation family
+    assert (got[3].n_docs, got[3].n_variants) == (2, 1)  # pure exact dups
