@@ -158,6 +158,8 @@ QUERY_NAMES = [
     "session_stats",
     "event_transitions",
     "pack_sequences",
+    "padding_waste",
+    "data_split",
     "dedup_keep_best",
     "semantic_dedup",
     "cluster_source_mix",

@@ -3861,6 +3861,115 @@ FROM m
 """
 
 
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency decision table: for each candidate sequence
+    length, the padding cost of DOC-BOUNDARY packing (each document
+    padded up to a whole number of sequences -- what an instruction-tuning
+    run that refuses to split documents pays) next to the sequence count
+    of boundary-free concat packing (``pack_sequences``).  waste_ppm is
+    what the seq_len choice costs; the concat column is what giving up
+    document boundaries buys back.
+
+    Shape: one map-side token count, explode over the 3-element length
+    literal, one tiny (3-group) aggregate.  Integer math end-to-end."""
+    d = _documents(spark, sf_dir)
+    per_doc = d.select(
+        tx.token_count(F.col("text")).alias("n_tok")
+    ).withColumn("seq_len", F.explode(F.array(*[F.lit(x) for x in (64, 128, 256)])))
+    seqs_doc = F.ceil(F.col("n_tok") / F.col("seq_len")).cast("long")
+    agg = per_doc.groupBy("seq_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(seqs_doc).cast("long").alias("doc_bound_seqs"),
+    )
+    padded = F.col("doc_bound_seqs") * F.col("seq_len")
+    return agg.select(
+        F.col("seq_len").cast("long").alias("seq_len"),
+        "n_docs",
+        "total_tokens",
+        "doc_bound_seqs",
+        (padded - F.col("total_tokens")).cast("long").alias("pad_tokens"),
+        F.floor((padded - F.col("total_tokens")) * 1000000 / padded)
+        .cast("long")
+        .alias("waste_ppm"),
+        F.ceil(F.col("total_tokens") / F.col("seq_len"))
+        .cast("long")
+        .alias("concat_seqs"),
+    )
+
+
+ORACLE_PADDING_WASTE = """
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+e AS (
+  SELECT n_tok, CAST(unnest([64, 128, 256]) AS BIGINT) AS seq_len FROM t
+),
+a AS (
+  SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(CAST(ceil(n_tok * 1.0 / seq_len) AS BIGINT)) AS BIGINT)
+           AS doc_bound_seqs
+  FROM e GROUP BY seq_len
+)
+SELECT seq_len, n_docs, total_tokens, doc_bound_seqs,
+       doc_bound_seqs * seq_len - total_tokens AS pad_tokens,
+       CAST(floor((doc_bound_seqs * seq_len - total_tokens) * 1000000.0
+                  / (doc_bound_seqs * seq_len)) AS BIGINT) AS waste_ppm,
+       CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) AS concat_seqs
+FROM a
+"""
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest: each doc's lane from
+    an integer-ppm threshold on its salted id hash (98% / 1% / 1%), so
+    membership is reproducible from (id, salt) alone -- no sampling
+    state, no ordering dependence, stable under corpus growth (a doc
+    never changes lanes when other docs arrive).  Per (source, split):
+    docs + tokens, the table an eval-leakage audit starts from."""
+    d = _documents(spark, sf_dir)
+    ppm = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("split1"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    split = (
+        F.when(ppm < 980000, F.lit("train"))
+        .when(ppm < 990000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), tx.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_DATA_SPLIT = """
+WITH t AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split1'), 1, 8)
+              AS BIGINT) % 1000000 AS ppm,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT)
+           AS n_tok
+  FROM documents
+)
+SELECT source,
+       CASE WHEN ppm < 980000 THEN 'train'
+            WHEN ppm < 990000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_prefix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncation-family detection: documents + planted truncated
     re-crawls (first 12 normalized tokens of every 6th doc, new id);
@@ -4561,6 +4670,8 @@ TRAINING_QUERIES = {
     "cluster_source_mix": q_cluster_source_mix,
     "embedding_drift": q_embedding_drift,
     "prefix_dup_stats": q_prefix_dup_stats,
+    "padding_waste": q_padding_waste,
+    "data_split": q_data_split,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4637,6 +4748,8 @@ TRAINING_ORACLES = {
     "cluster_source_mix": ORACLE_CLUSTER_SOURCE_MIX,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "prefix_dup_stats": ORACLE_PREFIX_DUP_STATS,
+    "padding_waste": ORACLE_PADDING_WASTE,
+    "data_split": ORACLE_DATA_SPLIT,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4659,6 +4772,8 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "padding_waste",
+    "data_split",
     "prefix_dup_stats",
     "embedding_drift",
     "cluster_source_mix",

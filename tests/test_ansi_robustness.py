@@ -124,7 +124,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # round 6c: epoch-second lag windows (timestamp_ntz cast under ANSI);
      # md5-slice conv + mod under ANSI
      "session_stats", "event_transitions", "bloom_prefilter",
-     "cluster_source_mix", "embedding_drift", "prefix_dup_stats"],
+     "cluster_source_mix", "embedding_drift", "prefix_dup_stats",
+     "padding_waste", "data_split"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

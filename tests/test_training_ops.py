@@ -3059,3 +3059,36 @@ def test_prefix_dup_planted_truncations(spark):
     assert set(got) == {1, 3}
     assert (got[1].n_docs, got[1].n_variants) == (2, 2)  # truncation family
     assert (got[3].n_docs, got[3].n_variants) == (2, 1)  # pure exact dups
+
+
+def test_padding_waste_arithmetic(spark):
+    """Hand-checked packing table: doc-boundary sequences and pad tokens
+    are exact integers; concat packing never needs more sequences."""
+    from mariadb_to_graylog_spark.entry_queries import ALL_QUERIES
+
+    rows = {r.seq_len: r for r in ALL_QUERIES["padding_waste"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {64, 128, 256}
+    for L, r in rows.items():
+        assert r.pad_tokens == r.doc_bound_seqs * L - r.total_tokens
+        assert r.concat_seqs <= r.doc_bound_seqs
+        assert 0 <= r.waste_ppm < 1_000_000
+    # bigger sequences waste more under doc-boundary packing (docs are
+    # 10-99 tokens here, so L=256 pads most docs > 60%)
+    assert rows[256].waste_ppm > rows[64].waste_ppm
+
+
+def test_data_split_deterministic_and_proportional(spark):
+    """Same (id, salt) -> same lane across runs; lanes partition the
+    corpus; train share lands near 98%."""
+    from mariadb_to_graylog_spark.entry_queries import ALL_QUERIES
+
+    a = sorted(map(tuple, ALL_QUERIES["data_split"](
+        spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, ALL_QUERIES["data_split"](
+        spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+    total = sum(r[2] for r in a)
+    train = sum(r[2] for r in a if r[1] == "train")
+    assert total == 500
+    assert 0.93 <= train / total <= 1.0
