@@ -160,6 +160,10 @@ QUERY_NAMES = [
     "pack_sequences",
     "padding_waste",
     "data_split",
+    "fuzzy_decontam",
+    "bpe_merges",
+    "bigram_novelty",
+    "lsh_planner",
     "dedup_keep_best",
     "semantic_dedup",
     "cluster_source_mix",

@@ -3970,6 +3970,256 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: every 13th document plays a lightly-EDITED
+    leaked eval item (' q' appended -- enough to defeat any exact 13-gram
+    probe on the tail windows); MinHash-LSH candidates against the
+    broadcast eval bucket table, verified with exact char-3-gram Jaccard
+    AND eval-containment.  The paraphrase-robust lane of the
+    decontamination family (exact lane: ``decontaminate`` /
+    ``decontaminate_extents``)."""
+    from mariadb_to_graylog_spark.operators.decontam import fuzzy_contamination
+
+    d = _documents(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat(F.col("text"), F.lit(" q")).alias("text"),
+    )
+    out = fuzzy_contamination(d, ev)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        "jaccard",
+        "containment",
+    )
+
+
+def _fuzzy_decontam_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 8,
+    shingle_n: int = 4,
+    n: int = 3,
+    jt: float = 0.5,
+    ct: float = 0.8,
+) -> str:
+    """Two-sided (doc x eval) twin of ``_minhash_cand_ctes``: signatures
+    over the tagged union, buckets join doc-side x eval-side, verify with
+    exact char-n-gram Jaccard + containment on candidates only."""
+    params = dd._hash_params(bands * rows_per_band)
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {dd.MERSENNE31})) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT side, id, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH u AS (
+  SELECT 'd' AS side, doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT 'e' AS side, doc_id AS id, text || ' q' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+h AS (
+  SELECT side, id,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
+             i -> substr(text, CAST(i AS INT), {shingle_n}))),
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+  FROM u
+),
+sigs AS (
+  SELECT side, id,
+         {sig_exprs}
+  FROM h
+),
+buckets AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS did, b.id AS eid
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.side = 'd' AND b.side = 'e'
+),
+g AS (
+  SELECT side, id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {n - 1}, 1) + 1),
+           i -> substr(text, CAST(i AS INT), {n}))) AS grams
+  FROM u
+),
+vp AS (
+  SELECT cand.did, cand.eid,
+         CAST(len(list_intersect(gd.grams, ge.grams)) AS DOUBLE) AS inter,
+         CAST(len(list_distinct(list_concat(gd.grams, ge.grams))) AS DOUBLE) AS uni,
+         CAST(len(ge.grams) AS DOUBLE) AS ne
+  FROM cand
+  JOIN g gd ON gd.side = 'd' AND gd.id = cand.did
+  JOIN g ge ON ge.side = 'e' AND ge.id = cand.eid
+)
+SELECT CAST(did AS BIGINT) AS doc_id, CAST(eid AS BIGINT) AS eval_id,
+       round(inter / uni, 6) AS jaccard, round(inter / ne, 6) AS containment
+FROM vp
+WHERE round(inter / uni, 6) >= {jt} OR round(inter / ne, 6) >= {ct}
+"""
+
+
+ORACLE_FUZZY_DECONTAM = _fuzzy_decontam_oracle_sql()
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic: the top-20 within-word adjacent
+    character pairs by occurrence-weighted corpus frequency -- the merge
+    candidates of BPE iteration one (Sennrich et al. 2016).  Pair
+    explosion runs over the DISTINCT-word frequency table, never the
+    corpus."""
+    return tx.bpe_merge_candidates(_documents(spark, sf_dir), top_k=20)
+
+
+ORACLE_BPE_MERGES = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+),
+p AS (
+  SELECT word, cnt,
+         unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair
+  FROM wc WHERE length(word) >= 2
+),
+a AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+  FROM p GROUP BY pair
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+           AS rank,
+         pair, n_occurrences, n_words
+  FROM a
+)
+SELECT rank, pair, n_occurrences, n_words FROM r WHERE rank <= 20
+"""
+
+
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency transition QC per document: rare-bigram counts as
+    the distributed stand-in for an n-gram LM perplexity gate.  Integer
+    end-to-end (no float-sum-order hazard)."""
+    out = tx.bigram_novelty(_documents(spark, sf_dir), rare_max=2)
+    return out.withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+ORACLE_BIGRAM_NOVELTY = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS toks
+  FROM documents
+),
+o AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                            i -> toks[CAST(i AS INT)] || ' '
+                                 || toks[CAST(i AS INT) + 1])
+                     ELSE [CAST(NULL AS VARCHAR)] END) AS bg
+  FROM t
+),
+f AS (
+  SELECT bg, COUNT(*) AS corpus_n FROM o WHERE bg IS NOT NULL GROUP BY bg
+),
+s AS (
+  SELECT o.doc_id,
+         COUNT(o.bg) AS n_bigrams,
+         SUM(CASE WHEN f.corpus_n <= 2 THEN 1 ELSE 0 END) AS n_rare,
+         MIN(f.corpus_n) AS min_count
+  FROM o LEFT JOIN f USING (bg) GROUP BY o.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       CAST(min_count AS BIGINT) AS min_count,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(floor(n_rare * 1000000 / n_bigrams) AS BIGINT)
+            ELSE NULL END AS novelty_ppm
+FROM s
+"""
+
+
+def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding decision table over the near-dup corpus: expected detection
+    probability of each (bands, rows) configuration, split hi/lo around
+    the 0.5 similarity threshold, from the measured candidate-pair
+    similarity profile.  What you consult before re-banding a 100 TB
+    dedup run."""
+    d = docs_with_near_dups(spark, sf_dir)
+    return dd.lsh_banding_planner(d, shingle_n=4, bands=4, rows_per_band=8)
+
+
+def _lsh_planner_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 8,
+    shingle_n: int = 4,
+    grid: tuple = ((2, 16), (4, 8), (8, 4), (16, 2)),
+    threshold: float = 0.5,
+) -> str:
+    k = bands * rows_per_band
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END" for j in range(k)
+    )
+    arms = []
+    for b, r in grid:
+        s_pow_r = "(" + " * ".join(["s"] * r) + ")"
+        q = f"(1.0 - {s_pow_r})"
+        miss = "(" + " * ".join([q] * b) + ")"
+        ppm = f"CAST(floor((1.0 - {miss}) * 1000000) AS BIGINT)"
+        s50 = int((1.0 / b) ** (1.0 / r) * 1_000_000)
+        arms.append(
+            f"  SELECT s, CAST({b} AS BIGINT) AS bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" CAST({s50} AS BIGINT) AS s50_ppm, {ppm} AS ppm FROM est"
+        )
+    arms_sql = "\n  UNION ALL\n".join(arms)
+    return (
+        _minhash_cand_ctes(bands, rows_per_band, shingle_n)
+        + f""",
+est AS (
+  SELECT round(({matches}) / {k}.0, 6) AS s
+  FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
+),
+pp AS (
+{arms_sql}
+),
+sums AS (
+  SELECT bands, rows_per_band, s50_ppm,
+         CAST(SUM(CASE WHEN s >= {threshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         CAST(SUM(CASE WHEN s >= {threshold} THEN 0 ELSE 1 END) AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN s >= {threshold} THEN ppm ELSE 0 END) AS BIGINT) AS hi_sum,
+         CAST(SUM(CASE WHEN s >= {threshold} THEN 0 ELSE ppm END) AS BIGINT) AS lo_sum
+  FROM pp GROUP BY bands, rows_per_band, s50_ppm
+)
+SELECT bands, rows_per_band, s50_ppm, n_hi, n_lo,
+       CASE WHEN n_hi > 0 THEN CAST(floor(hi_sum / n_hi) AS BIGINT)
+            ELSE NULL END AS exp_detect_hi_ppm,
+       CASE WHEN n_lo > 0 THEN CAST(floor(lo_sum / n_lo) AS BIGINT)
+            ELSE NULL END AS exp_detect_lo_ppm
+FROM sums
+"""
+    )
+
+
+ORACLE_LSH_PLANNER = _lsh_planner_oracle_sql()
+
+
 def q_prefix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncation-family detection: documents + planted truncated
     re-crawls (first 12 normalized tokens of every 6th doc, new id);
@@ -4672,6 +4922,10 @@ TRAINING_QUERIES = {
     "prefix_dup_stats": q_prefix_dup_stats,
     "padding_waste": q_padding_waste,
     "data_split": q_data_split,
+    "fuzzy_decontam": q_fuzzy_decontam,
+    "bpe_merges": q_bpe_merges,
+    "bigram_novelty": q_bigram_novelty,
+    "lsh_planner": q_lsh_planner,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -4750,6 +5004,10 @@ TRAINING_ORACLES = {
     "prefix_dup_stats": ORACLE_PREFIX_DUP_STATS,
     "padding_waste": ORACLE_PADDING_WASTE,
     "data_split": ORACLE_DATA_SPLIT,
+    "fuzzy_decontam": ORACLE_FUZZY_DECONTAM,
+    "bpe_merges": ORACLE_BPE_MERGES,
+    "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
+    "lsh_planner": ORACLE_LSH_PLANNER,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -4772,6 +5030,10 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "fuzzy_decontam",
+    "bpe_merges",
+    "bigram_novelty",
+    "lsh_planner",
     "padding_waste",
     "data_split",
     "prefix_dup_stats",

@@ -680,3 +680,95 @@ def trim_contaminated_runs(
         on_null_id,
     )
     return _trim_by_runs(docs2, "doc_id", "text", runs)
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    max_eval_rows: int = 1_000_000,
+) -> DataFrame:
+    """FUZZY decontamination: flag training documents whose text is a
+    MinHash-LSH near-duplicate of any eval item -- the paraphrase/edit
+    robust complement to the exact word-n-gram ``contamination`` family,
+    which goes blind the moment one token inside every shared 13-gram is
+    edited (the classic contamination-laundering rewrite).
+
+    Returns (doc_id, eval_id, jaccard, containment) for every candidate
+    pair passing EITHER threshold.  Both scores are exact, computed on
+    char ``n``-gram sets of the candidate pair only:
+
+    * ``jaccard``     = |G(doc) n G(ev)| / |G(doc) u G(ev)|
+    * ``containment`` = |G(doc) n G(ev)| / |G(ev)| -- a short eval item
+      quoted whole inside a long document scores ~1.0 here while its
+      Jaccard stays low.
+
+    Scale shape: the eval set is small by definition, so its (band, sig)
+    bucket table and its gram arrays BROADCAST (row count enforced, like
+    ``eval_gram_set``).  The corpus side computes MinHash signatures
+    below one groupBy(id) exchange (``dedup.minhash_signatures``) and
+    probes the broadcast buckets -- candidate generation moves no corpus
+    text and no corpus rows beyond that signature aggregation, and
+    verification joins gram arrays for CANDIDATE pairs only.  Inherent
+    caveat, stated not hidden: candidate recall follows the Jaccard
+    S-curve of the banding, so a low-Jaccard / high-containment pair
+    surfaces only if some band still collides; wholesale-quotation hunts
+    belong to the exact positioned-gram path (``contamination_extents``),
+    this operator hunts near-duplicate / lightly-edited contamination.
+    """
+    from mariadb_to_graylog_spark.operators.dedup import char_ngrams, lsh_buckets
+
+    n_eval = eval_df.count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"eval corpus must be small (got {n_eval} rows > max_eval_rows="
+            f"{max_eval_rows}); fuzzy decontamination broadcasts the eval "
+            "bucket table -- for corpus-vs-corpus near-dedup use "
+            "dedup.lsh_jaccard_verified over the union instead"
+        )
+    doc_b = lsh_buckets(docs, id_col, text_col, shingle_n, bands, rows_per_band)
+    ev_b = lsh_buckets(eval_df, eval_id_col, eval_text_col, shingle_n, bands, rows_per_band)
+    cand = (
+        doc_b.withColumnRenamed("id", "_did")
+        .join(
+            F.broadcast(ev_b.withColumnRenamed("id", "_eid")),
+            ["band", "sig"],
+        )
+        .select("_did", "_eid")
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col).alias("_did"),
+        char_ngrams(F.col(text_col), n).alias("_g_doc"),
+    )
+    eg = eval_df.select(
+        F.col(eval_id_col).alias("_eid"),
+        char_ngrams(F.col(eval_text_col), n).alias("_g_ev"),
+    )
+    pairs = cand.join(dg, "_did").join(F.broadcast(eg), "_eid")
+    inter = F.size(F.array_intersect("_g_doc", "_g_ev")).cast("double")
+    union = F.size(F.array_union("_g_doc", "_g_ev")).cast("double")
+    contain = inter / F.size(F.col("_g_ev")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("containment", F.round(contain, 6))
+        .filter(
+            (F.col("jaccard") >= jaccard_threshold)
+            | (F.col("containment") >= containment_threshold)
+        )
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_eid").alias(eval_id_col),
+            "jaccard",
+            "containment",
+        )
+    )

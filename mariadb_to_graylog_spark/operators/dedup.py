@@ -2040,3 +2040,93 @@ def prefix_dup_stats(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+DEFAULT_BANDING_GRID: tuple[tuple[int, int], ...] = ((2, 16), (4, 8), (8, 4), (16, 2))
+
+
+def lsh_banding_planner(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    grid: tuple[tuple[int, int], ...] = DEFAULT_BANDING_GRID,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banding decision table: for each candidate (bands b, rows r)
+    configuration in ``grid`` (all with b*r = the measured k), the
+    expected detection probability 1-(1-s^r)^b AVERAGED over the
+    corpus's own measured pair-similarity profile -- split into pairs
+    at/above ``threshold`` (wanted: recall) and below it (unwanted:
+    candidate-verification overhead).  This is the table you read before
+    re-banding a 100 TB dedup run: steeper bandings (more rows/band) cut
+    wasted verifications but shed borderline true pairs, and the right
+    trade depends on THIS corpus's similarity histogram, not the
+    textbook S-curve alone.
+
+    The similarity profile comes from ``minhash_jaccard_estimate`` at
+    threshold 0 -- i.e. it is CONDITIONED on the reference banding's
+    candidate set (pairs the reference banding never surfaces are not in
+    the profile; stated, not hidden).  s is the exact rational m/k
+    (collision fraction), detection probability is evaluated by repeated
+    IEEE multiplication (no libm pow), and every output is an integer
+    ppm from floor() -- so the DuckDB oracle reproduces values
+    bit-for-bit with no float-sum-order hazard.
+
+    Returns one row per grid entry: (bands, rows_per_band, s50_ppm,
+    n_hi, n_lo, exp_detect_hi_ppm, exp_detect_lo_ppm) where s50_ppm is
+    the theoretical 50%-detection similarity (1/b)^(1/r) as ppm
+    (computed driver-side from the two literals) and exp_detect_*_ppm
+    are mean detection probabilities over the hi/lo pair populations."""
+    k = bands * rows_per_band
+    est = minhash_jaccard_estimate(
+        df, id_col, text_col, shingle_n, bands, rows_per_band, threshold=0.0
+    )
+    s = F.col("est_jaccard")
+
+    def _pow(col, p: int):
+        out = col
+        for _ in range(p - 1):
+            out = out * col
+        return out
+
+    arms = []
+    for b, r in grid:
+        if b * r != k:
+            raise ValueError(f"grid entry ({b},{r}) does not multiply to k={k}")
+        p_detect = F.lit(1.0) - _pow(F.lit(1.0) - _pow(s, r), b)
+        arms.append(
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(int((1.0 / b) ** (1.0 / r) * 1_000_000)).cast("long").alias("s50_ppm"),
+                F.floor(p_detect * 1_000_000).cast("long").alias("_ppm"),
+            )
+        )
+    per_pair = est.select(
+        s.alias("_s"), F.explode(F.array(*arms)).alias("_cfg")
+    ).select("_s", "_cfg.*")
+    hi = F.col("_s") >= threshold
+    sums = per_pair.groupBy("bands", "rows_per_band", "s50_ppm").agg(
+        F.sum(hi.cast("long")).cast("long").alias("n_hi"),
+        F.sum((~hi).cast("long")).cast("long").alias("n_lo"),
+        F.sum(F.when(hi, F.col("_ppm")).otherwise(0)).cast("long").alias("_hi_sum"),
+        F.sum(F.when(~hi, F.col("_ppm")).otherwise(0)).cast("long").alias("_lo_sum"),
+    )
+    # explicit zero-guards, not bare division: an empty hi/lo population
+    # must yield NULL identically under ANSI on/off and in DuckDB
+    return sums.select(
+        "bands",
+        "rows_per_band",
+        "s50_ppm",
+        "n_hi",
+        "n_lo",
+        F.when(F.col("n_hi") > 0, F.floor(F.col("_hi_sum") / F.col("n_hi")))
+        .cast("long")
+        .alias("exp_detect_hi_ppm"),
+        F.when(F.col("n_lo") > 0, F.floor(F.col("_lo_sum") / F.col("n_lo")))
+        .cast("long")
+        .alias("exp_detect_lo_ppm"),
+    )

@@ -830,3 +830,129 @@ def key_skew_stats(
         )
         .select("rank", "key", "cnt", "share_ppm")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """First BPE iteration's merge-candidate table (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"): the
+    most frequent ADJACENT CHARACTER PAIRS inside words, weighted by word
+    occurrence count -- the statistic a tokenizer-training run computes
+    over the corpus before picking its first merge.
+
+    Scale shape (the whole point): the corpus collapses to the DISTINCT
+    WORD FREQUENCY table first (groupBy(word), partial-aggregated
+    map-side -- vocabulary grows ~sublinearly while the corpus grows
+    linearly), and pair explosion runs over that small table only; a
+    100 TB corpus never explodes per-occurrence pairs.  The final pair
+    table is bounded by |charset|^2 (~1.3k rows for [a-z0-9]), so the
+    global top-k sort is a driver-scale afterthought, not a real sort.
+
+    Returns (rank, pair, n_occurrences, n_words): occurrence-weighted
+    pair count (within-word multiplicity counted, as BPE does) and the
+    number of distinct words containing the pair; deterministic total
+    order (count desc, pair asc)."""
+    from pyspark.sql.window import Window
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+        F.count_distinct(F.col("word")).cast("long").alias("n_words"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "n_occurrences", "n_words")
+    )
+
+
+def word_bigrams_strict(c: Column) -> Column:
+    """True adjacent token pairs: EMPTY array for <2-token docs.
+    ``word_bigrams`` (the repetition-ratio helper) degrades to a unigram
+    pseudo-pair on 1-token docs by design; corpus-frequency consumers
+    (``bigram_novelty``) must not count those as transitions."""
+    toks = tokens(c)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-frequency transition QC: per document, how many of its word
+    bigrams are RARE in the whole corpus (corpus occurrence count <=
+    ``rare_max``) -- the cheap distributed stand-in for an n-gram
+    language-model perplexity gate.  Gibberish, OCR noise, and
+    machine-translation artifacts are exactly the documents whose
+    transitions nobody else makes; boilerplate scores ~0.
+
+    Integer end-to-end (counts and a floor'd ppm ratio), so results are
+    float-order-independent and oracle-hashable -- a mean-log-prob score
+    would depend on float summation order across partitions.
+
+    Scale shape: one explode + groupBy(bigram) builds the corpus
+    frequency table (partial-aggregated map-side); per-doc occurrences
+    join it ON THE BIGRAM KEY (both sides shuffle once on the same key,
+    no broadcast needed -- the frequency table is corpus-sized); the
+    per-doc rollup shuffles (doc_id, 3 ints).  Docs with <2 tokens
+    surface with n_bigrams=0 and NULL min_count, not silently dropped."""
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(word_bigrams_strict(F.col(text_col))).alias("bg"),
+    )
+    freq = (
+        occ.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("corpus_n"))
+    )
+    scored = (
+        occ.join(freq, "bg", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.col("bg")).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("corpus_n") <= rare_max, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+            F.min("corpus_n").cast("long").alias("min_count"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+        "min_count",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.floor(
+                F.coalesce(F.col("n_rare"), F.lit(0)) * 1000000 / F.col("n_bigrams")
+            ),
+        ).cast("long").alias("novelty_ppm"),
+    )

@@ -125,7 +125,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # md5-slice conv + mod under ANSI
      "session_stats", "event_transitions", "bloom_prefilter",
      "cluster_source_mix", "embedding_drift", "prefix_dup_stats",
-     "padding_waste", "data_split"],
+     "padding_waste", "data_split",
+     "fuzzy_decontam", "bpe_merges", "bigram_novelty", "lsh_planner"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -3092,3 +3092,105 @@ def test_data_split_deterministic_and_proportional(spark):
     train = sum(r[2] for r in a if r[1] == "train")
     assert total == 500
     assert 0.93 <= train / total <= 1.0
+
+
+def test_fuzzy_decontam_catches_edited_eval_item(spark):
+    """The operator's raison d'etre: an eval item with one word EDITED
+    inside every exact window is invisible to exact n-gram contamination
+    but still a MinHash near-dup of the leaked doc."""
+    from mariadb_to_graylog_spark.operators.decontam import (
+        contamination,
+        fuzzy_contamination,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "researchers carefully measure benchmark leakage across training "
+        "corpora every single evening"
+    )
+    # the doc is 22 tokens -> every 13-gram window covers positions
+    # 10..13; edit token 12 so NO window survives intact
+    edited = base.replace("researchers", "scientists")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about gardening tools")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, edited)], "eval_id long, text string")
+    exact = contamination(docs, ev.withColumnRenamed("eval_id", "doc_id"), n=13)
+    assert exact.filter("contaminated").count() == 0  # exact lane blind
+    fuzzy = fuzzy_contamination(docs, ev)
+    got = {(r.doc_id, r.eval_id) for r in fuzzy.collect()}
+    assert (1, 100) in got
+    assert all(d != 2 for d, _ in got)  # unrelated doc untouched
+
+
+def test_fuzzy_decontam_eval_cap_enforced(spark, docs):
+    from mariadb_to_graylog_spark.operators.decontam import fuzzy_contamination
+
+    ev = docs.select(F.col("doc_id").alias("eval_id"), "text")
+    with pytest.raises(ValueError, match="eval corpus must be small"):
+        fuzzy_contamination(docs, ev, max_eval_rows=10)
+
+
+def test_bpe_merge_candidates_hand_counts(spark):
+    """'abab' x3 occurrences + 'ab' x2: pair 'ab' occurs 2*3 + 1*2 = 8
+    times across 2 distinct words; 'ba' occurs 3 in 1 word."""
+    from mariadb_to_graylog_spark.operators.textstats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab x")], "doc_id long, text string"
+    )
+    rows = {r.pair: r for r in bpe_merge_candidates(df, top_k=10).collect()}
+    assert rows["ab"].n_occurrences == 8 and rows["ab"].n_words == 2
+    assert rows["ba"].n_occurrences == 3 and rows["ba"].n_words == 1
+    assert rows["ab"].rank == 1
+    # 1-char words ('x') contribute no pairs
+    assert "x " not in rows and " x" not in rows
+
+
+def test_bigram_novelty_planted_gibberish(spark):
+    """A doc whose transitions nobody else makes scores ~1e6 ppm; a doc
+    made of corpus-common transitions scores 0; <2-token docs surface
+    with zero bigrams and NULL min_count."""
+    from mariadb_to_graylog_spark.operators.textstats import bigram_novelty
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]
+    rows.append((100, "zxq vbnk wqpr zzgh mlkj"))  # gibberish
+    rows.append((101, "hello"))  # 1 token
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_novelty(df, rare_max=2).collect()}
+    assert len(got) == 12  # nothing silently dropped
+    assert got[100].novelty_ppm == 1_000_000 and got[100].min_count == 1
+    assert got[0].novelty_ppm == 0 and got[0].min_count == 10
+    assert got[101].n_bigrams == 0 and got[101].min_count is None
+    assert got[101].novelty_ppm is None
+
+
+def test_lsh_planner_scurve_ordering(spark, docs):
+    """Fixed k = bands*rows: steeper bandings (more rows/band) shift the
+    S-curve right -- s50 rises with rows_per_band and expected detection
+    falls (weakly) for BOTH populations; grid entries with b*r != k must
+    raise."""
+    from mariadb_to_graylog_spark.operators.dedup import lsh_banding_planner
+
+    near = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        ).select(docs.columns)
+    )
+    out = sorted(
+        lsh_banding_planner(near.select("doc_id", "text")).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    assert [(r.bands, r.rows_per_band) for r in out] == [
+        (16, 2), (8, 4), (4, 8), (2, 16)
+    ]
+    s50 = [r.s50_ppm for r in out]
+    assert s50 == sorted(s50) and s50[0] < s50[-1]
+    hi = [r.exp_detect_hi_ppm for r in out if r.exp_detect_hi_ppm is not None]
+    assert hi == sorted(hi, reverse=True)
+    with pytest.raises(ValueError, match="does not multiply"):
+        lsh_banding_planner(near, grid=((3, 5),)).collect()
