@@ -184,8 +184,29 @@ def main() -> int:
     ]
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
-    out.write_text("\n".join(lines) + "\n")
-    print(f"wrote {out}", file=sys.stderr)
+    # PRESERVE the hand-written history: everything from the first
+    # session-notes/archive heading onward survives the rewrite (this
+    # script used to clobber it; the round-5 tail had to be restored from
+    # a /tmp copy once -- never again).  New measurements replace only
+    # the generated head.
+    preserved = ""
+    if out.exists():
+        prev = out.read_text()
+        idx = min(
+            (
+                i
+                for i in (
+                    prev.find("\n## Round-"),
+                    prev.find("\n## Archived measurements"),
+                )
+                if i >= 0
+            ),
+            default=-1,
+        )
+        if idx >= 0:
+            preserved = prev[idx:]
+    out.write_text("\n".join(lines) + "\n" + preserved)
+    print(f"wrote {out} (preserved {len(preserved)} bytes of history)", file=sys.stderr)
     print(json.dumps({str(c): results[c]["turns_per_sec"] for c in levels}))
     return 0
 
