@@ -164,6 +164,7 @@ QUERY_NAMES = [
     "bpe_merges",
     "bigram_novelty",
     "lsh_planner",
+    "vocab_coverage",
     "dedup_keep_best",
     "semantic_dedup",
     "cluster_source_mix",

@@ -4220,6 +4220,42 @@ FROM sums
 ORACLE_LSH_PLANNER = _lsh_planner_oracle_sql()
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-count vocabulary decision table: surviving words and token
+    coverage at each frequency floor.  Sort-free (count thresholds, not
+    top-V ranks) so no global window at 100 TB vocab."""
+    return tx.vocab_coverage(_documents(spark, sf_dir))
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM wc
+),
+a AS (
+  SELECT t.min_count,
+         CAST(SUM(CASE WHEN cnt >= t.min_count THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_words,
+         CAST(SUM(CASE WHEN cnt >= t.min_count THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_occurrences
+  FROM wc, (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS min_count) t
+  GROUP BY t.min_count
+)
+SELECT min_count, n_words, n_occurrences,
+       CAST(floor(n_occurrences * 1000000 / total) AS BIGINT) AS coverage_ppm,
+       CAST(floor(n_words * 1000000 / vocab) AS BIGINT) AS vocab_share_ppm
+FROM a, tot
+"""
+
+
+
 def q_prefix_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncation-family detection: documents + planted truncated
     re-crawls (first 12 normalized tokens of every 6th doc, new id);
@@ -4926,6 +4962,7 @@ TRAINING_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
+    "vocab_coverage": q_vocab_coverage,
     "curation_pipeline": q_curation_pipeline,
     "curation_trim_pipeline": q_curation_trim_pipeline,
     "token_percentiles": q_token_percentiles,
@@ -5008,6 +5045,7 @@ TRAINING_ORACLES = {
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "curation_trim_pipeline": ORACLE_CURATION_TRIM_PIPELINE,
     "token_percentiles": ORACLE_TOKEN_PERCENTILES,
@@ -5032,6 +5070,7 @@ _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
     "fuzzy_decontam",
     "bpe_merges",
+    "vocab_coverage",
     "bigram_novelty",
     "lsh_planner",
     "padding_waste",

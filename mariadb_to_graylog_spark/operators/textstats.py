@@ -956,3 +956,56 @@ def bigram_novelty(
             ),
         ).cast("long").alias("novelty_ppm"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Vocabulary-pruning decision table: for each min-count threshold t,
+    how many distinct words survive (count >= t) and what fraction of all
+    TOKEN OCCURRENCES they cover -- the table consulted when choosing a
+    tokenizer min-frequency / vocab floor (drop hapaxes? everything under
+    16?) or a rare-word QC cutoff.
+
+    Deliberately SORT-FREE: coverage is computed against COUNT thresholds,
+    not top-V ranks, so the whole thing is one groupBy(word) (partial-
+    aggregated map-side) plus one conditional aggregate over the vocab
+    table -- no global rank window, which would funnel a 100M-word
+    vocabulary through a single partition.  (Rank-style top-k lives in
+    ``key_skew_stats`` / ``bpe_merge_candidates``, where the table is
+    bounded.)  Integer ppm end-to-end."""
+    wc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arms = [
+        F.struct(
+            F.lit(t).cast("long").alias("min_count"),
+            F.when(F.col("cnt") >= t, F.lit(1)).otherwise(0).cast("long").alias("w"),
+            F.when(F.col("cnt") >= t, F.col("cnt")).otherwise(0).cast("long").alias("o"),
+        )
+        for t in thresholds
+    ]
+    per = wc.select(
+        F.col("cnt"), F.explode(F.array(*arms)).alias("_a")
+    ).select("cnt", "_a.*")
+    agg = per.groupBy("min_count").agg(
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("o").cast("long").alias("n_occurrences"),
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_vocab"),
+    )
+    return agg.select(
+        "min_count",
+        "n_words",
+        "n_occurrences",
+        F.floor(F.col("n_occurrences") * 1000000 / F.col("_total"))
+        .cast("long")
+        .alias("coverage_ppm"),
+        F.floor(F.col("n_words") * 1000000 / F.col("_vocab"))
+        .cast("long")
+        .alias("vocab_share_ppm"),
+    )

@@ -126,7 +126,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "session_stats", "event_transitions", "bloom_prefilter",
      "cluster_source_mix", "embedding_drift", "prefix_dup_stats",
      "padding_waste", "data_split",
-     "fuzzy_decontam", "bpe_merges", "bigram_novelty", "lsh_planner"],
+     "fuzzy_decontam", "bpe_merges", "bigram_novelty", "lsh_planner",
+     "vocab_coverage"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -3194,3 +3194,19 @@ def test_lsh_planner_scurve_ordering(spark, docs):
     assert hi == sorted(hi, reverse=True)
     with pytest.raises(ValueError, match="does not multiply"):
         lsh_banding_planner(near, grid=((3, 5),)).collect()
+
+
+def test_vocab_coverage_hand_counts(spark):
+    """3 words: 'a' x4, 'b' x2, 'c' x1 -> at t=2: 2 words cover 6/7."""
+    from mariadb_to_graylog_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame([(1, "a a b c"), (2, "a a b")], "doc_id long, text string")
+    got = {r.min_count: r for r in vocab_coverage(df, thresholds=(1, 2, 4)).collect()}
+    assert got[1].n_words == 3 and got[1].coverage_ppm == 1_000_000
+    assert got[2].n_words == 2 and got[2].n_occurrences == 6
+    assert got[2].coverage_ppm == 857142  # floor(6e6/7)
+    assert got[4].n_words == 1 and got[4].n_occurrences == 4
+    assert got[1].vocab_share_ppm == 1_000_000
+    # coverage monotone non-increasing in the threshold
+    cov = [got[t].coverage_ppm for t in (1, 2, 4)]
+    assert cov == sorted(cov, reverse=True)
