@@ -4074,6 +4074,90 @@ WHERE round(inter / uni, 6) >= {jt} OR round(inter / ne, 6) >= {ct}
 ORACLE_FUZZY_DECONTAM = _fuzzy_decontam_oracle_sql()
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination, the third lane of the family: every 17th
+    embedding plays an eval item as a POSITIVE-SCALED copy (x2 -- zero
+    shared surface n-grams with anything, identical SRP sign pattern, so
+    the planted leak is caught deterministically); SRP-bucket candidates
+    against the broadcast eval table, exact cosine verified in the same
+    map task.  Exact lane: ``decontaminate``; edit-robust lane:
+    ``fuzzy_decontam``; this one catches full paraphrases by embedding
+    proximity."""
+    from mariadb_to_graylog_spark.operators.decontam import semantic_contamination
+
+    e = _embeddings(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 500000).alias("eval_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2).alias(
+            "embedding"
+        ),
+    )
+    out = semantic_contamination(e, ev, dim=64, bands=3, rows_per_band=8,
+                                 threshold=0.97)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        "cos_sim",
+    )
+
+
+def _semantic_decontam_oracle_sql(
+    dim: int = 64, bands: int = 3, rows_per_band: int = 8, threshold: float = 0.97
+) -> str:
+    """Two-sided (doc x eval) twin of ``_embed_lsh_oracle_sql``: SRP sign
+    bits over the tagged union, buckets join doc-side x eval-side, exact
+    cosine on candidates only."""
+    planes = sim.srp_planes(bands * rows_per_band, dim)
+    bit_exprs = ",\n         ".join(
+        "CASE WHEN "
+        + _DOT.format(a="embedding", b="[" + ",".join(str(x) for x in p) + "]")
+        + f" >= 0 THEN 1 ELSE 0 END AS bit_{j}"
+        for j, p in enumerate(planes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT side, id, {b} AS band, "
+        + " + ".join(
+            f"bit_{b * rows_per_band + r} * {1 << r}" for r in range(rows_per_band)
+        )
+        + " AS bv FROM s"
+        for b in range(bands)
+    )
+    return f"""
+WITH u AS (
+  SELECT 'd' AS side, vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT 'e' AS side, vec_id + 500000 AS id,
+         list_transform(embedding, x -> x::DOUBLE * 2) AS embedding
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+s AS (
+  SELECT side, id,
+         {bit_exprs}
+  FROM u
+),
+b AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.id AS did, y.id AS eid
+  FROM b x JOIN b y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.side = 'd' AND y.side = 'e'
+),
+p AS (
+  SELECT cand.did, cand.eid,
+         {_cos_sql("ed.embedding", "ee.embedding")} AS cos_sim
+  FROM cand
+  JOIN u ed ON ed.side = 'd' AND ed.id = cand.did
+  JOIN u ee ON ee.side = 'e' AND ee.id = cand.eid
+)
+SELECT CAST(did AS BIGINT) AS vec_id, CAST(eid AS BIGINT) AS eval_id, cos_sim
+FROM p WHERE cos_sim >= {threshold}
+"""
+
+
+ORACLE_SEMANTIC_DECONTAM = _semantic_decontam_oracle_sql()
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training statistic: the top-20 within-word adjacent
     character pairs by occurrence-weighted corpus frequency -- the merge
@@ -4959,6 +5043,7 @@ TRAINING_QUERIES = {
     "padding_waste": q_padding_waste,
     "data_split": q_data_split,
     "fuzzy_decontam": q_fuzzy_decontam,
+    "semantic_decontam": q_semantic_decontam,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5042,6 +5127,7 @@ TRAINING_ORACLES = {
     "padding_waste": ORACLE_PADDING_WASTE,
     "data_split": ORACLE_DATA_SPLIT,
     "fuzzy_decontam": ORACLE_FUZZY_DECONTAM,
+    "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5068,6 +5154,7 @@ TRAINING_ORACLES = {
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
+    "semantic_decontam",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

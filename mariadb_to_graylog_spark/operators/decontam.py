@@ -772,3 +772,92 @@ def fuzzy_contamination(
             "containment",
         )
     )
+
+
+def semantic_contamination(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    eval_id_col: str = "eval_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 3,
+    rows_per_band: int = 8,
+    threshold: float = 0.97,
+    round_digits: int = 6,
+    max_eval_rows: int = 1_000_000,
+    pin_broadcast: bool = True,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training documents whose EMBEDDING
+    is a near-duplicate (cosine >= ``threshold``) of any eval-set
+    embedding -- the third lane of the decontamination family, catching
+    full paraphrases that survive both the exact 13-gram probe
+    (``contamination``) and the char-n-gram MinHash probe
+    (``fuzzy_contamination``): a rewritten eval answer shares no surface
+    n-grams at all but still lands next to the original in embedding
+    space (the signal SemDeDup exploits for dedup, aimed here at
+    eval leakage).
+
+    Returns (id_col, eval_id_col, cos_sim) for every pair at or above
+    the threshold (cosine rounded to ``round_digits`` BEFORE the
+    threshold test, so the DuckDB oracle thresholds the same value).
+
+    Scale shape -- the corpus side never shuffles: each document computes
+    its SRP sign-bit band values map-side (same deterministic integer
+    hyperplanes as ``similarity.embedding_neardup_lsh``, so an eval
+    vector that is a positive-scalar multiple of a corpus vector shares
+    every sign bit and always collides); the eval bucket table
+    (bands x |eval| rows of three longs) and the eval vector table
+    BROADCAST with the row count enforced, exactly like
+    ``fuzzy_contamination``.  Candidates therefore fall out of a
+    map-side broadcast hash join against the exploded doc bands, the
+    exact cosine is verified in the same map task (the doc vector is
+    still in hand -- no join-back to the corpus), and only MATCHES reach
+    the final distinct.  ``pin_broadcast=False`` keeps both bucket
+    tables distributed (shard-vs-shard shuffle join on (band, bv)) for
+    eval sets past broadcast size; results are identical.
+
+    Inherent caveat, stated not hidden: SRP recall at cosine s is
+    1-(1-(1-acos(s)/pi)^rows)^bands per pair -- exact/scaled copies are
+    ALWAYS caught, deep paraphrases at s ~ threshold can be missed;
+    raise ``bands`` (recall) or lower ``rows_per_band`` (cost) per the
+    ``lsh_banding_planner`` table, it is the same trade.
+    """
+    from mariadb_to_graylog_spark.operators.similarity import (
+        cosine,
+        srp_band_values,
+        srp_planes,
+    )
+
+    n_eval = eval_df.count()
+    if n_eval > max_eval_rows:
+        raise ValueError(
+            f"eval corpus must be small (got {n_eval} rows > max_eval_rows="
+            f"{max_eval_rows}); semantic decontamination broadcasts the eval "
+            "bucket and vector tables -- for corpus-vs-corpus embedding "
+            "near-dedup use similarity.embedding_neardup_lsh over the union"
+        )
+    planes = srp_planes(bands * rows_per_band, dim)
+    bv = srp_band_values(vec_col, planes, bands, rows_per_band)
+    doc_b = docs.select(
+        F.col(id_col).alias("_did"),
+        F.col(vec_col).alias("_vd"),
+        F.posexplode(bv).alias("band", "bv"),
+    )
+    ev_b = eval_df.select(
+        F.col(eval_id_col).alias("_eid"),
+        F.col(vec_col).alias("_ve"),
+        F.posexplode(bv).alias("band", "bv"),
+    )
+    if pin_broadcast:
+        ev_b = F.broadcast(ev_b)
+    hits = (
+        doc_b.join(ev_b, ["band", "bv"])
+        .withColumn("cos_sim", F.round(cosine(F.col("_vd"), F.col("_ve")), round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return hits.select(
+        F.col("_did").alias(id_col),
+        F.col("_eid").alias(eval_id_col),
+        "cos_sim",
+    ).distinct()

@@ -127,7 +127,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "cluster_source_mix", "embedding_drift", "prefix_dup_stats",
      "padding_waste", "data_split",
      "fuzzy_decontam", "bpe_merges", "bigram_novelty", "lsh_planner",
-     "vocab_coverage"],
+     "vocab_coverage",
+     # round 6d: SRP sign folds + broadcast bucket probe under ANSI
+     "semantic_decontam"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -3210,3 +3210,82 @@ def test_vocab_coverage_hand_counts(spark):
     # coverage monotone non-increasing in the threshold
     cov = [got[t].coverage_ppm for t in (1, 2, 4)]
     assert cov == sorted(cov, reverse=True)
+
+
+def test_semantic_decontam_catches_scaled_paraphrase(spark, embeds):
+    """The operator's raison d'etre: an eval item whose embedding is a
+    positive-scaled copy of a training doc's (cosine exactly 1, zero
+    shared surface text) is invisible to both exact-n-gram and MinHash
+    lanes but MUST be flagged here -- positive scaling preserves every
+    SRP sign bit, so recall on the planted leaks is deterministic 100%."""
+    from mariadb_to_graylog_spark.operators.decontam import semantic_contamination
+
+    ev = embeds.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 70000).alias("eval_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 3).alias(
+            "embedding"
+        ),
+    )
+    planted = {
+        (r.vec_id, r.vec_id + 70000)
+        for r in embeds.filter(F.col("vec_id") % 9 == 0).collect()
+    }
+    got = {
+        (r.vec_id, r.eval_id)
+        for r in semantic_contamination(embeds, ev, dim=64, threshold=0.999).collect()
+    }
+    assert planted <= got
+    # every reported pair really is above threshold (verify step honest)
+    full = semantic_contamination(embeds, ev, dim=64, threshold=0.999).collect()
+    assert all(r.cos_sim >= 0.999 for r in full)
+
+
+def test_semantic_decontam_bucketed_equals_broadcast(spark, embeds):
+    """pin_broadcast=False (distributed shard-vs-shard bucket join, the
+    past-broadcast-size escape hatch) returns the identical pair set."""
+    from mariadb_to_graylog_spark.operators.decontam import semantic_contamination
+
+    ev = embeds.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 70000).alias("eval_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2).alias(
+            "embedding"
+        ),
+    )
+    a = {
+        (r.vec_id, r.eval_id, r.cos_sim)
+        for r in semantic_contamination(
+            embeds, ev, dim=64, threshold=0.97, pin_broadcast=True
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.eval_id, r.cos_sim)
+        for r in semantic_contamination(
+            embeds, ev, dim=64, threshold=0.97, pin_broadcast=False
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_semantic_decontam_eval_cap_and_plan(spark, embeds):
+    """Eval-row cap raises loudly; the default plan is a broadcast hash
+    join on the SRP band keys with NO cartesian/nested-loop join and NO
+    corpus-side exchange before the join (documents never shuffle)."""
+    from mariadb_to_graylog_spark.operators.decontam import semantic_contamination
+
+    ev = embeds.select(F.col("vec_id").alias("eval_id"), "embedding")
+    with pytest.raises(ValueError, match="eval corpus must be small"):
+        semantic_contamination(embeds, ev, dim=64, max_eval_rows=10)
+
+    small_ev = embeds.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    out = semantic_contamination(embeds, small_ev, dim=64, threshold=0.97)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    pre, _, _ = plan.partition("BroadcastHashJoin")
+    # above (= downstream of) the join only the matches-only distinct may
+    # exchange; the corpus scan side below it must be exchange-free
+    join_tail = plan[plan.index("BroadcastHashJoin"):]
+    scan_side = join_tail.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in scan_side
