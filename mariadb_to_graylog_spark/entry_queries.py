@@ -4158,6 +4158,89 @@ FROM p WHERE cos_sim >= {threshold}
 ORACLE_SEMANTIC_DECONTAM = _semantic_decontam_oracle_sql()
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: every 7th doc is republished as a
+    20-WORD quote (word-boundary prefix, so its 8-gram set is an exact
+    subset of the source's -- containment 1.0 while whole-doc Jaccard is
+    ~0.05, structurally invisible to the symmetric near-dup lanes);
+    rare-gram candidates, exact set-containment verified on candidates
+    only."""
+    d = _documents(spark, sf_dir)
+    quote = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(tx.normalize_text(F.col("text")), " "), 1, 20), " "
+        ).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(quote)
+    out = dd.containment_pairs(both, n=8, rare_cap=20, threshold=0.9)
+    return out.select(
+        F.col("id_inner").cast("long").alias("id_inner"),
+        F.col("id_outer").cast("long").alias("id_outer"),
+        F.col("n_inner_grams").cast("long").alias("n_inner_grams"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        "containment",
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(list_slice(
+           str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+           1, 20), ' ')
+  FROM documents WHERE doc_id % 7 = 0
+),
+s AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM d
+),
+g0 AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(str_split(s, ' ')) - 7, 0) + 1),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice(str_split(s, ' '), CAST(i AS INT), CAST(i AS INT) + 7),
+           ' ')), 1, 8) AS BIGINT)
+  )) AS grams
+  FROM s
+),
+e AS (SELECT doc_id, unnest(grams) AS h FROM g0),
+f AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= 20),
+r AS (SELECT e.doc_id, e.h FROM e JOIN f USING (h)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM r a JOIN r b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+iv AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter,
+         CAST(len(ga.grams) AS BIGINT) AS n_a,
+         CAST(len(gb.grams) AS BIGINT) AS n_b
+  FROM cand
+  JOIN g0 ga ON ga.doc_id = cand.id_a
+  JOIN g0 gb ON gb.doc_id = cand.id_b
+),
+o AS (
+  SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN id_a ELSE id_b END AS id_inner,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN id_b ELSE id_a END AS id_outer,
+         CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+              THEN n_a ELSE n_b END AS n_inner_grams,
+         n_inter
+  FROM iv
+)
+SELECT CAST(id_inner AS BIGINT) AS id_inner,
+       CAST(id_outer AS BIGINT) AS id_outer,
+       n_inner_grams, n_inter,
+       round(CAST(n_inter AS DOUBLE) / n_inner_grams, 6) AS containment
+FROM o
+WHERE round(CAST(n_inter AS DOUBLE) / n_inner_grams, 6) >= 0.9
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training statistic: the top-20 within-word adjacent
     character pairs by occurrence-weighted corpus frequency -- the merge
@@ -5044,6 +5127,7 @@ TRAINING_QUERIES = {
     "data_split": q_data_split,
     "fuzzy_decontam": q_fuzzy_decontam,
     "semantic_decontam": q_semantic_decontam,
+    "containment_pairs": q_containment_pairs,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5128,6 +5212,7 @@ TRAINING_ORACLES = {
     "data_split": ORACLE_DATA_SPLIT,
     "fuzzy_decontam": ORACLE_FUZZY_DECONTAM,
     "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
+    "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5155,6 +5240,7 @@ TRAINING_ORACLES = {
 _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
     "semantic_decontam",
+    "containment_pairs",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

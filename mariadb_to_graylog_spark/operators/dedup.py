@@ -2130,3 +2130,84 @@ def lsh_banding_planner(
         .cast("long")
         .alias("exp_detect_lo_ppm"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    rare_cap: int = 20,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric SET-CONTAINMENT dedup: find (inner, outer) document
+    pairs where nearly every word ``n``-gram of the inner doc also occurs
+    in the outer -- quotes, excerpts, pages republished inside a larger
+    shell, concatenated digests.  Jaccard-based near-dedup is structurally
+    blind to these (a 100-word quote inside a 10k-word page has Jaccard
+    ~0.01); ``shared_ngram_pairs`` finds them but joins on EVERY gram,
+    which is exactly the join the occurrence cap must then police.
+
+    Candidate generation joins on RARE grams only (corpus frequency <=
+    ``rare_cap``): if doc A is contained in doc B, then every gram of A
+    -- including A's rarest -- is also in B, so any contained doc that
+    has at least one sub-cap gram is guaranteed to surface.  Pair
+    emission per gram is bounded by rare_cap^2/2 BY CONSTRUCTION (no
+    loud-drop trade-off: frequent grams are skipped for candidates but
+    still counted in the verify), and the exact intersection is computed
+    for candidate pairs only, as one (h, id) equi-join -- text never
+    moves, only 8-byte detection hashes (h32; nothing destructive here).
+
+    Blind spot, stated not hidden: an inner doc built ENTIRELY of
+    above-cap boilerplate grams has no rare gram to surface on; such
+    docs are cluster signals for paragraph/exact dedup, and
+    ``ngram_bucket_stats`` quantifies the gram mass above any cap.
+
+    Returns (id_inner, id_outer, n_inner_grams, n_inter, containment)
+    with containment = |G(inner) ^ G(outer)| / |G(inner)| rounded to
+    ``round_digits`` BEFORE the threshold test (oracle thresholds the
+    same value).  inner = the doc with the SMALLER distinct-gram set
+    (ties: lower id), so each unordered pair appears at most once.
+    """
+    from mariadb_to_graylog_spark.operators.decontam import word_ngram_hashes
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_g"))
+    freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("_f"))
+    rare = g.join(freq.filter(F.col("_f") <= rare_cap), "h").drop("_f")
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(g.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(g.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_g").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_g").alias("n_b"))
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    a_inner = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = scored.select(
+        F.when(a_inner, F.col("id_a")).otherwise(F.col("id_b")).alias("id_inner"),
+        F.when(a_inner, F.col("id_b")).otherwise(F.col("id_a")).alias("id_outer"),
+        F.when(a_inner, F.col("n_a")).otherwise(F.col("n_b")).alias("n_inner_grams"),
+        F.col("n_inter"),
+    ).withColumn(
+        "containment",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_inner_grams").cast("double"),
+            round_digits,
+        ),
+    )
+    return out.filter(F.col("containment") >= threshold)

@@ -128,8 +128,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "padding_waste", "data_split",
      "fuzzy_decontam", "bpe_merges", "bigram_novelty", "lsh_planner",
      "vocab_coverage",
-     # round 6d: SRP sign folds + broadcast bucket probe under ANSI
-     "semantic_decontam"],
+     # round 6d: SRP sign folds + broadcast bucket probe under ANSI;
+     # rare-gram candidate join + containment arithmetic
+     "semantic_decontam", "containment_pairs"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

@@ -3289,3 +3289,75 @@ def test_semantic_decontam_eval_cap_and_plan(spark, embeds):
     join_tail = plan[plan.index("BroadcastHashJoin"):]
     scan_side = join_tail.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in scan_side
+
+
+def test_containment_pairs_finds_quote_jaccard_blind(spark):
+    """A 12-word quote republished from a 60-word page: containment 1.0
+    while whole-doc Jaccard is far below any near-dup threshold -- the
+    symmetric lanes are structurally blind to it."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        containment_pairs,
+        lsh_jaccard_verified,
+    )
+
+    words = [f"w{i}token" for i in range(60)]
+    page = " ".join(words)
+    quote = " ".join(words[10:22])
+    other = " ".join(f"z{i}item" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, page), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_inner, r.id_outer): r.containment
+        for r in containment_pairs(df, n=8, rare_cap=20, threshold=0.9).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    sym = lsh_jaccard_verified(df, threshold=0.5)
+    assert sym.filter("id_a = 1 and id_b = 2").count() == 0
+
+
+def test_containment_pairs_orientation_and_verify_honesty(spark):
+    """inner = smaller gram set; a partially-overlapping doc scores the
+    exact intersection fraction, and sub-threshold pairs are dropped."""
+    from mariadb_to_graylog_spark.operators.dedup import containment_pairs
+
+    words = [f"w{i}tok" for i in range(30)]
+    full = " ".join(words)
+    # 10 tokens -> 3 8-grams, two of which (positions 5..12, 6..13) exist
+    # in full and one (mixed) does not
+    partial = " ".join(words[5:13] + ["alien", "alienb"])
+    df = spark.createDataFrame(
+        [(1, full), (2, partial)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, n=8, rare_cap=20, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_inner, r.id_outer) == (2, 1)
+    assert r.n_inner_grams == 3 and r.n_inter == 1
+    assert abs(r.containment - round(1 / 3, 6)) < 1e-12
+    # threshold honest: the same pair vanishes above its score
+    assert containment_pairs(df, n=8, rare_cap=20, threshold=0.9).count() == 0
+
+
+def test_containment_pairs_rare_gram_blind_spot_stated(spark):
+    """An inner doc made ENTIRELY of above-cap boilerplate grams has no
+    rare gram to surface on -- the documented candidate-generation blind
+    spot (cluster-dedup territory, not pair territory)."""
+    from mariadb_to_graylog_spark.operators.dedup import containment_pairs
+
+    boiler = " ".join(f"b{i}plate" for i in range(10))
+    rows = [(100, boiler + " " + " ".join(f"u{i}nique" for i in range(20)))]
+    rows += [(i, boiler) for i in range(1, 9)]  # 9 docs share every gram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the boilerplate frequency: the contained copies vanish
+    out = containment_pairs(df, n=8, rare_cap=5, threshold=0.9)
+    assert out.count() == 0
+    # cap above it: every boilerplate copy pairs (with doc 100 and each
+    # other), containment 1.0
+    found = {
+        (r.id_inner, r.id_outer)
+        for r in containment_pairs(df, n=8, rare_cap=20, threshold=0.9).collect()
+    }
+    assert (1, 100) in found and (2, 100) in found
+    exe = containment_pairs(df, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in exe and "NestedLoop" not in exe
