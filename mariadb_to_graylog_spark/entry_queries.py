@@ -4241,6 +4241,68 @@ WHERE round(CAST(n_inter AS DOUBLE) / n_inner_grams, 6) >= 0.9
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores with the German documents as the in-domain
+    target sample: per-doc mean log(p_target/p_raw) under hashed unigram
+    models -- 'de' docs must rank above the corpus (tested as a
+    property), giving quality-by-example selection without hand-tuned
+    feature weights."""
+    d = _documents(spark, sf_dir)
+    target = d.filter(F.col("lang") == "de").select("text")
+    out = tx.dsir_weights(d, target, n_buckets=8192)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "log_ratio",
+    )
+
+
+ORACLE_DSIR_WEIGHTS = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+  FROM documents
+),
+ro AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8192 AS b FROM occ
+),
+tocc AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+  FROM documents WHERE lang = 'de'
+),
+tb AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8192 AS b FROM tocc
+),
+nr AS (SELECT greatest(count(*), 1) AS n FROM ro),
+nt AS (SELECT greatest(count(*), 1) AS n FROM tb),
+rc AS (SELECT b, count(*) AS cr FROM ro GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+tbl AS (
+  SELECT coalesce(rc.b, tc.b) AS b,
+         CAST(round((ln(coalesce(ct, 0) + 1.0) - ln(coalesce(cr, 0) + 1.0)
+               + ln((SELECT n FROM nr) + 8192.0)
+               - ln((SELECT n FROM nt) + 8192.0)) * 1000000) AS BIGINT)
+           AS micro
+  FROM rc FULL JOIN tc ON rc.b = tc.b
+),
+agg AS (
+  SELECT occ.doc_id,
+         count(*) AS n_tokens,
+         sum(micro) AS sum_micro
+  FROM occ
+  LEFT JOIN tbl
+    ON tbl.b = CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 8192
+  GROUP BY occ.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN round(sum_micro::DOUBLE / (n_tokens * 1000000.0), 6)
+       END AS log_ratio
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training statistic: the top-20 within-word adjacent
     character pairs by occurrence-weighted corpus frequency -- the merge
@@ -5128,6 +5190,7 @@ TRAINING_QUERIES = {
     "fuzzy_decontam": q_fuzzy_decontam,
     "semantic_decontam": q_semantic_decontam,
     "containment_pairs": q_containment_pairs,
+    "dsir_weights": q_dsir_weights,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5213,6 +5276,7 @@ TRAINING_ORACLES = {
     "fuzzy_decontam": ORACLE_FUZZY_DECONTAM,
     "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
+    "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5241,6 +5305,7 @@ _DRIVER_PRIORITY = [
     # tier 1: new in round 6 (names are appended here as the queries land)
     "semantic_decontam",
     "containment_pairs",
+    "dsir_weights",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

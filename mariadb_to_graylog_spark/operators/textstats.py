@@ -1009,3 +1009,95 @@ def vocab_coverage(
         .cast("long")
         .alias("vocab_share_ppm"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str = "text",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    scores: per-document mean log importance ratio
+    ``log(p_target(tok)/p_raw(tok))`` under HASHED unigram bag-of-words
+    models -- p_target trained on a small in-domain ``target`` sample,
+    p_raw on the corpus itself (``df``).  Positive = target-like, the
+    rank a quality-by-example selection keeps from the top of; unlike
+    the heuristic gates (``quality_score``) this needs no hand-tuned
+    weights, only examples of what good data looks like.
+
+    Feature hashing: token -> h32 % ``n_buckets`` -- the vocabulary
+    never matters, both models live in the same fixed B-dim simplex
+    with add-1 smoothing (p(b) = (cnt_b + 1)/(N + B)), so unseen
+    buckets contribute a well-defined floor instead of -inf.
+
+    fp determinism (repo rule): the per-bucket log ratio
+    ``ln(ct+1) - ln(Nt+B) - ln(cr+1) + ln(Nr+B)`` is quantized to
+    integer MICRO-nats in the B-row bucket table, per-doc totals are
+    EXACT integer sums (immune to float order across partitions and
+    engines), one rounded division at the end.
+
+    Shape at scale: one token-occurrence shuffle per model into the
+    bucket counts (map-side partials collapse repeats), the B-row table
+    BROADCASTS back onto the corpus occurrence stream, one standard
+    per-doc aggregate.  N_t / N_r are single driver-side scalars (the
+    k-means-centroid idiom).  Tokenless docs report n_tokens=0 and a
+    NULL ratio.
+    """
+    from mariadb_to_graylog_spark.operators.dedup import h32
+
+    bucket = lambda tok: h32(tok) % n_buckets  # noqa: E731
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    )
+    raw_occ = occ.filter(F.col("tok").isNotNull()).select(bucket(F.col("tok")).alias("b"))
+    tgt_occ = target.select(
+        F.explode(tokens(F.col(target_text_col))).alias("tok")
+    ).select(bucket(F.col("tok")).alias("b"))
+    n_raw = max(raw_occ.count(), 1)
+    n_tgt = max(tgt_occ.count(), 1)
+    raw_cnt = raw_occ.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_cnt = tgt_occ.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    const = F.log(F.lit(float(n_raw + n_buckets))) - F.log(
+        F.lit(float(n_tgt + n_buckets))
+    )
+    table = (
+        raw_cnt.join(tgt_cnt, "b", "full")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+                    - F.log(F.coalesce(F.col("cr"), F.lit(0)).cast("double") + 1.0)
+                    + const
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("_micro"),
+        )
+    )
+    # buckets absent from BOTH counts never appear in occurrences either,
+    # so the full-outer table covers every probed key
+    floor_micro = F.round(const * 1e6).cast("long")
+    joined = occ.withColumn(
+        "b", F.when(F.col("tok").isNotNull(), bucket(F.col("tok")))
+    ).join(F.broadcast(table), "b", "left")
+    per_tok = F.when(
+        F.col("tok").isNotNull(), F.coalesce(F.col("_micro"), floor_micro)
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count("tok").cast("long").alias("n_tokens"),
+        F.sum(per_tok).alias("_sum_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("_sum_micro") / (F.col("n_tokens") * F.lit(1e6)), 6),
+        ).alias("log_ratio"),
+    )

@@ -3361,3 +3361,65 @@ def test_containment_pairs_rare_gram_blind_spot_stated(spark):
     assert (1, 100) in found and (2, 100) in found
     exe = containment_pairs(df, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in exe and "NestedLoop" not in exe
+
+
+def test_dsir_weights_rank_target_like_docs(spark, docs):
+    """Quality-by-example contract: with the German docs as the target
+    sample, the mean DSIR log-ratio of 'de' docs beats the mean of every
+    other language -- and a hand-built two-token corpus reproduces the
+    add-1 arithmetic exactly."""
+    from mariadb_to_graylog_spark.operators.textstats import dsir_weights
+
+    target = docs.filter(F.col("lang") == "de").select("text")
+    out = dsir_weights(docs, target).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r.lang: r.m
+        for r in out.filter(F.col("log_ratio").isNotNull())
+        .groupBy("lang")
+        .agg(F.avg("log_ratio").alias("m"))
+        .collect()
+    }
+    assert all(means["de"] > v for k, v in means.items() if k != "de"), means
+
+
+def test_dsir_weights_hand_arithmetic_and_empty_doc(spark):
+    """3-doc corpus, 1-doc target: per-bucket micro-nats recompute by
+    hand; a tokenless doc reports n_tokens=0 with a NULL ratio."""
+    import math
+
+    from mariadb_to_graylog_spark.operators.textstats import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "gamma beta"), (3, "...")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([("alpha",)], "text string")
+    got = {r.doc_id: r for r in dsir_weights(df, target, n_buckets=16).collect()}
+    B = 16
+    n_raw, n_tgt = 5, 1
+    const = math.log(n_raw + B) - math.log(n_tgt + B)
+
+    def h32b(tok):
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    raw = {"alpha": 2, "beta": 2, "gamma": 1}
+    cr, ct = {}, {}
+    for t, c in raw.items():
+        cr[h32b(t)] = cr.get(h32b(t), 0) + c
+    ct[h32b("alpha")] = 1
+    buckets = set(cr) | set(ct)
+    micro = {
+        b: round(
+            (math.log(ct.get(b, 0) + 1) - math.log(cr.get(b, 0) + 1) + const) * 1e6
+        )
+        for b in buckets
+    }
+    exp1 = round(
+        (2 * micro[h32b("alpha")] + micro[h32b("beta")]) / (3 * 1e6), 6
+    )
+    assert got[1].n_tokens == 3 and abs(got[1].log_ratio - exp1) < 1e-12
+    assert got[3].n_tokens == 0 and got[3].log_ratio is None
