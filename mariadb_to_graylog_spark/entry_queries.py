@@ -3570,6 +3570,60 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def q_paragraph_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-paragraph language segmentation over the paragraph corpus:
+    its planted 'Subscribe to the <lang> newsletter' footer is English
+    by stopword evidence, so every non-English page is a PLANTED
+    code-switched document -- majority_ppm < 1e6 and n_langs >= 2,
+    the mix a whole-doc language ID silently averages away."""
+    d = docs_with_paragraphs(spark, sf_dir)
+    return pg.paragraph_language_mix(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_paragraphs",
+        "n_langs",
+        "majority_lang",
+        "majority_ppm",
+    )
+
+
+ORACLE_PARAGRAPH_LANG_MIX = f"""
+WITH d AS ({{para_docs}}),
+p AS (
+  SELECT doc_id, trim(para) AS para
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS para
+        FROM d)
+  WHERE length(trim(para)) > 0
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(para), '{_STOP_SQL["en"]}', 1)) AS BIGINT) AS en_score,
+         CAST(len(regexp_extract_all(lower(para), '{_STOP_SQL["de"]}', 1)) AS BIGINT) AS de_score,
+         CAST(len(regexp_extract_all(lower(para), '{_STOP_SQL["fr"]}', 1)) AS BIGINT) AS fr_score
+  FROM p
+),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+              WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS lang
+  FROM s
+),
+c AS (SELECT doc_id, lang, count(*) AS cnt FROM pl GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, lang, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS total,
+         count(*) OVER (PARTITION BY doc_id) AS n_langs,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rk
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(total AS BIGINT) AS n_paragraphs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       lang AS majority_lang,
+       CAST(cnt * 1000000 // total AS BIGINT) AS majority_ppm
+FROM r WHERE rk = 1
+""".format(para_docs=_SQL_PARA_DOCS)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5191,6 +5245,7 @@ TRAINING_QUERIES = {
     "semantic_decontam": q_semantic_decontam,
     "containment_pairs": q_containment_pairs,
     "dsir_weights": q_dsir_weights,
+    "paragraph_lang_mix": q_paragraph_lang_mix,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5277,6 +5332,7 @@ TRAINING_ORACLES = {
     "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
+    "paragraph_lang_mix": ORACLE_PARAGRAPH_LANG_MIX,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5306,6 +5362,7 @@ _DRIVER_PRIORITY = [
     "semantic_decontam",
     "containment_pairs",
     "dsir_weights",
+    "paragraph_lang_mix",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

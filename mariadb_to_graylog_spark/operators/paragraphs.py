@@ -416,3 +416,69 @@ def drop_duplicate_paragraphs(
             F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dropped"),
         )
     )
+
+
+def paragraph_language_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document LANGUAGE-MIX segmentation: language-ID every
+    paragraph independently (same stopword heuristic and en>de>fr tie
+    rule as ``textstats.lang_scores``), then report how mixed the
+    document is -- (doc_id, n_paragraphs, n_langs, majority_lang,
+    majority_ppm).  A whole-doc language ID silently averages over
+    code-switched pages (boilerplate navigation in English wrapping a
+    German article, bilingual forum threads); curation wants those docs
+    FLAGGED (majority_ppm well below 1e6) so they can be split or
+    routed, not mislabeled.  CCNet does its LM scoring per paragraph
+    for exactly this reason.
+
+    majority_ppm = floor(1e6 * majority-paragraph count / n_paragraphs)
+    -- integer end-to-end (the repo ppm rule); majority ties resolve to
+    the lexicographically smallest language (the
+    ``domain_language_mix`` min(struct(-n, lang)) idiom).  Documents
+    with no non-empty paragraph produce no row (they have no language
+    evidence at all).
+
+    Shape at scale: the paragraph explode and the three stopword regex
+    passes are map-side; ONE exchange on (doc_id, lang) for the counts;
+    the per-doc total, distinct-lang count and majority ride a window
+    over the already-partitioned doc key.  Text leaves the scan only as
+    exploded paragraphs feeding a regexp count -- no paragraph string
+    survives past the map stage.
+    """
+    from pyspark.sql.window import Window
+
+    from mariadb_to_graylog_spark.operators.textstats import stopword_count
+
+    paras = explode_paragraphs(df, id_col, text_col)
+    c = F.col("para")
+    en, de, fr = (stopword_count(c, l) for l in ("en", "de", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    counts = (
+        paras.select(F.col("doc_id"), pred.alias("lang"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    me = F.struct((-F.col("cnt")).alias("negn"), F.col("lang").alias("l"))
+    per = counts.select(
+        "doc_id",
+        "lang",
+        "cnt",
+        F.sum("cnt").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_langs"),
+        (me == F.min(me).over(w)).alias("_is_maj"),
+    )
+    return per.filter(F.col("_is_maj")).select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_paragraphs"),
+        "n_langs",
+        F.col("lang").alias("majority_lang"),
+        F.expr("cnt * 1000000L div total").cast("long").alias("majority_ppm"),
+    )

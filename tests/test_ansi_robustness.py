@@ -131,8 +131,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # round 6d: SRP sign folds + broadcast bucket probe under ANSI;
      # rare-gram candidate join + containment arithmetic
      "semantic_decontam", "containment_pairs",
-     # ln/round micro-nat folds + % bucketing under ANSI
-     "dsir_weights"],
+     # ln/round micro-nat folds + % bucketing under ANSI; paragraph
+     # explode + window ties + integer div
+     "dsir_weights", "paragraph_lang_mix"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

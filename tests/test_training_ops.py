@@ -3423,3 +3423,46 @@ def test_dsir_weights_hand_arithmetic_and_empty_doc(spark):
     )
     assert got[1].n_tokens == 3 and abs(got[1].log_ratio - exp1) < 1e-12
     assert got[3].n_tokens == 0 and got[3].log_ratio is None
+
+
+def test_paragraph_lang_mix_flags_code_switched_docs(spark):
+    """A German article wrapped in English navigation boilerplate must
+    come back majority de with n_langs=2 and majority_ppm=666666; a pure
+    doc reports 1e6; a paragraph-less doc produces no row."""
+    from mariadb_to_graylog_spark.operators.paragraphs import (
+        paragraph_language_mix,
+    )
+
+    de = "der hund und die katze gehen zu das haus"
+    en = "the cat and the dog walk to a house in the garden"
+    df = spark.createDataFrame(
+        [
+            (1, f"{de}\n\n{de} der die und\n\n{en}"),
+            (2, f"{en}\n\n{en}"),
+            (3, "   \n\n   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_language_mix(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_paragraphs, r1.n_langs, r1.majority_lang) == (3, 2, "de")
+    assert r1.majority_ppm == 2 * 1_000_000 // 3
+    r2 = got[2]
+    assert (r2.n_paragraphs, r2.n_langs, r2.majority_lang, r2.majority_ppm) == (
+        2, 1, "en", 1_000_000,
+    )
+
+
+def test_paragraph_lang_mix_majority_tie_is_lexicographic(spark):
+    """1 de + 1 en paragraph: tie resolves to the lexicographically
+    smallest language ('de'), deterministically."""
+    from mariadb_to_graylog_spark.operators.paragraphs import (
+        paragraph_language_mix,
+    )
+
+    de = "der hund und die katze und das haus und der baum"
+    en = "the cat and the dog and a house and the tree"
+    df = spark.createDataFrame([(1, f"{de}\n\n{en}")], "doc_id long, text string")
+    r = paragraph_language_mix(df).collect()[0]
+    assert (r.n_langs, r.majority_lang, r.majority_ppm) == (2, "de", 500000)
