@@ -161,6 +161,10 @@ QUERY_NAMES = [
     "padding_waste",
     "data_split",
     "fuzzy_decontam",
+    "semantic_decontam",
+    "containment_pairs",
+    "dsir_weights",
+    "paragraph_lang_mix",
     "bpe_merges",
     "bigram_novelty",
     "lsh_planner",

@@ -218,6 +218,22 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
     def domain_rep():
         return tx.domain_reputation(d).count()
 
+    def containment():
+        # rare-gram candidates: per-gram pair emission bounded by cap^2/2
+        # BY CONSTRUCTION (the universal footer's grams are above-cap and
+        # simply never generate candidates; the verify still counts them)
+        return dd.containment_pairs(d, n=8, rare_cap=cap).count()
+
+    def dsir():
+        # FIXED 1000-page target sample (in-domain examples don't grow
+        # with the corpus): B-row micro-nat table broadcasts, corpus
+        # pays one occurrence shuffle per model
+        target = d.filter(F.col("doc_id") < 1000).select("text")
+        return tx.dsir_weights(d, target).count()
+
+    def para_lang():
+        return pg.paragraph_language_mix(d).count()
+
     for name, fn in [
         ("substring_pairs", substring_pairs),
         ("shared_run_extents", run_extents),
@@ -234,6 +250,9 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("dedup_rate_sampled", sampled_rate),
         ("cdc_chunk_stats", cdc),
         ("domain_reputation", domain_rep),
+        ("containment_pairs", containment),
+        ("dsir_weights", dsir),
+        ("paragraph_lang_mix", para_lang),
     ]:
         fn()  # full-plan warmup
         sec, n = timed(fn)
@@ -327,11 +346,28 @@ def run_embedding_level(spark, n_vecs: int) -> dict:
             e, F.col("vec_id") < 8, books, dim=64, k=3, rerank=50
         ).count()
 
+    def sem_decontam():
+        # FIXED 500-vector eval set (x2-scaled copies of the first 500):
+        # the eval bucket+vector tables broadcast, the corpus side is
+        # map-side only -- ideal 4x-data ratio ~4 (pure scan scaling)
+        from mariadb_to_graylog_spark.operators.decontam import (
+            semantic_contamination,
+        )
+
+        ev = e.filter(F.col("vec_id") < 500).select(
+            (F.col("vec_id") + 900000).alias("eval_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * 2).alias(
+                "embedding"
+            ),
+        )
+        return semantic_contamination(e, ev, dim=64, threshold=0.97).count()
+
     for name, fn in [
         ("embed_neardup_lsh", srp),
         ("knn_bruteforce", brute),
         ("semantic_dedup", semdedup),
         ("knn_pq", pq),
+        ("semantic_decontam", sem_decontam),
     ]:
         fn()
         sec, n = timed(fn)
