@@ -163,6 +163,7 @@ QUERY_NAMES = [
     "fuzzy_decontam",
     "semantic_decontam",
     "containment_pairs",
+    "incremental_neardup",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -3624,6 +3624,120 @@ FROM r WHERE rk = 1
 """.format(para_docs=_SQL_PARA_DOCS)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl NEAR-dup gate: the new batch = fresh docs (every
+    7th = 3) plus lightly-EDITED re-crawls of corpus docs (' q'
+    appended -- invisible to the exact md5 lane); MinHash-LSH probe of
+    the corpus bucket index, char-3-gram Jaccard verified on candidates,
+    one decision row per batch doc (best match, ties to lowest corpus
+    id)."""
+    d = _documents(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" q")).alias("text"),
+            )
+        )
+    )
+    out = dd.incremental_neardup(corpus, batch, threshold=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "decision",
+        F.col("match_id").cast("long").alias("match_id"),
+        "jaccard",
+    )
+
+
+def _incremental_neardup_oracle_sql(
+    bands: int = 4,
+    rows_per_band: int = 8,
+    shingle_n: int = 4,
+    n: int = 3,
+    jt: float = 0.5,
+) -> str:
+    """Corpus-vs-batch twin of the fuzzy-decontam banding CTEs, plus the
+    per-batch-doc best-match/kept decision tail."""
+    params = dd._hash_params(bands * rows_per_band)
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {dd.MERSENNE31})) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT side, id, {b} AS band, ".format(b=b)
+        + " || '-' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS band_sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH u AS (
+  SELECT 'c' AS side, doc_id AS id, text FROM documents WHERE doc_id % 7 != 3
+  UNION ALL
+  SELECT 'b' AS side, doc_id AS id, text FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT 'b' AS side, doc_id + 400000 AS id, text || ' q' AS text
+  FROM documents WHERE doc_id % 21 = 0
+),
+h AS (
+  SELECT side, id,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
+             i -> substr(text, CAST(i AS INT), {shingle_n}))),
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+  FROM u
+),
+sigs AS (
+  SELECT side, id,
+         {sig_exprs}
+  FROM h
+),
+buckets AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT b.id AS bid, c.id AS cid
+  FROM buckets b JOIN buckets c
+    ON b.band = c.band AND b.band_sig = c.band_sig
+  WHERE b.side = 'b' AND c.side = 'c'
+),
+g AS (
+  SELECT side, id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {n - 1}, 1) + 1),
+           i -> substr(text, CAST(i AS INT), {n}))) AS grams
+  FROM u
+),
+vp AS (
+  SELECT cand.bid, cand.cid,
+         round(CAST(len(list_intersect(gb.grams, gc.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(gb.grams, gc.grams))), 6) AS j
+  FROM cand
+  JOIN g gb ON gb.side = 'b' AND gb.id = cand.bid
+  JOIN g gc ON gc.side = 'c' AND gc.id = cand.cid
+),
+best AS (
+  SELECT bid, cid, j,
+         row_number() OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rk
+  FROM vp WHERE j >= {jt}
+)
+SELECT CAST(b.id AS BIGINT) AS doc_id,
+       CASE WHEN best.bid IS NULL THEN 'kept' ELSE 'near_duplicate' END AS decision,
+       CAST(best.cid AS BIGINT) AS match_id,
+       best.j AS jaccard
+FROM (SELECT id FROM u WHERE side = 'b') b
+LEFT JOIN best ON best.bid = b.id AND best.rk = 1
+"""
+
+
+ORACLE_INCREMENTAL_NEARDUP = _incremental_neardup_oracle_sql()
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5246,6 +5360,7 @@ TRAINING_QUERIES = {
     "containment_pairs": q_containment_pairs,
     "dsir_weights": q_dsir_weights,
     "paragraph_lang_mix": q_paragraph_lang_mix,
+    "incremental_neardup": q_incremental_neardup,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5333,6 +5448,7 @@ TRAINING_ORACLES = {
     "containment_pairs": ORACLE_CONTAINMENT_PAIRS,
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "paragraph_lang_mix": ORACLE_PARAGRAPH_LANG_MIX,
+    "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5363,6 +5479,7 @@ _DRIVER_PRIORITY = [
     "containment_pairs",
     "dsir_weights",
     "paragraph_lang_mix",
+    "incremental_neardup",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -2211,3 +2211,89 @@ def containment_pairs(
         ),
     )
     return out.filter(F.col("containment") >= threshold)
+
+
+def incremental_neardup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Daily-crawl NEAR-dup ingestion gate: check a new ``batch`` against
+    the existing ``corpus`` for MinHash-LSH near-duplicates WITHOUT
+    re-deduping the corpus -- the fuzzy twin of ``q_incremental_dedup``
+    (exact md5 + verbatim-overlap), catching the re-crawls that arrive
+    lightly edited (timestamps, ads, template drift) and so slip every
+    exact key.
+
+    Returns ONE row per batch document:
+    (doc_id, decision, match_id, jaccard) with decision =
+    ``'near_duplicate'`` when the best verified corpus match reaches
+    ``threshold`` (char ``n``-gram Jaccard, rounded before the test),
+    else ``'kept'`` (match columns NULL).  Best match = highest jaccard,
+    ties to the lowest corpus id -- deterministic.
+
+    Scale shape: the corpus side collapses to its (band, sig struct)
+    bucket table -- THE INDEX, `bands` rows of a few longs per corpus
+    doc; at 10^12 docs this table is written once (localCheckpoint /
+    table write, the bloom/IVF-PQ materialization idiom) and each daily
+    batch probes it with a distributed equi-join on the band key
+    (nothing is broadcast or collected: the corpus side is
+    corpus-sized by definition).  Corpus TEXT moves only for candidate
+    ids -- the verify joins gram arrays for candidate pairs only, and
+    the final per-batch-doc best-match aggregate shuffles candidate
+    rows, not the batch.  Recall follows the banding S-curve
+    (``lsh_banding_planner`` is the sizing table); the exact-md5 lane
+    (``q_incremental_dedup``) remains the backstop for verbatim
+    re-crawls.
+    """
+    cb = lsh_buckets(corpus, id_col, text_col, shingle_n, bands, rows_per_band)
+    bb = lsh_buckets(batch, id_col, text_col, shingle_n, bands, rows_per_band)
+    cand = (
+        bb.withColumnRenamed("id", "_bid")
+        .join(cb.withColumnRenamed("id", "_cid"), ["band", "sig"])
+        .select("_bid", "_cid")
+        .distinct()
+    )
+    bg = batch.select(
+        F.col(id_col).alias("_bid"),
+        char_ngrams(F.col(text_col), n).alias("_g_b"),
+    )
+    cg = corpus.select(
+        F.col(id_col).alias("_cid"),
+        char_ngrams(F.col(text_col), n).alias("_g_c"),
+    )
+    inter = F.size(F.array_intersect("_g_b", "_g_c")).cast("double")
+    union = F.size(F.array_union("_g_b", "_g_c")).cast("double")
+    verified = (
+        cand.join(bg, "_bid")
+        .join(cg, "_cid")
+        .withColumn("jaccard", F.round(inter / union, round_digits))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # best = highest jaccard, ties to the lowest corpus id: min over
+    # (-j, id) -- id-type-agnostic (string ids stay strings, the
+    # module-wide CC contract)
+    best = verified.groupBy("_bid").agg(
+        F.min(
+            F.struct((-F.col("jaccard")).alias("negj"), F.col("_cid").alias("cid"))
+        ).alias("_best")
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("_bid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_best").isNotNull(), F.lit("near_duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+            F.col("_best.cid").alias("match_id"),
+            (-F.col("_best.negj")).alias("jaccard"),
+        )
+    )

@@ -3466,3 +3466,55 @@ def test_paragraph_lang_mix_majority_tie_is_lexicographic(spark):
     df = spark.createDataFrame([(1, f"{de}\n\n{en}")], "doc_id long, text string")
     r = paragraph_language_mix(df).collect()[0]
     assert (r.n_langs, r.majority_lang, r.majority_ppm) == (2, "de", 500000)
+
+
+def test_incremental_neardup_catches_edited_recrawl(spark):
+    """A re-crawl with one edited word slips the exact-md5 lane but must
+    come back 'near_duplicate' with the right corpus match; genuinely
+    fresh batch docs come back 'kept' with NULL match columns."""
+    from mariadb_to_graylog_spark.operators.dedup import incremental_neardup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "researchers carefully measure benchmark leakage across training "
+        "corpora every single evening"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an entirely different corpus page about sailing")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base.replace("researchers", "scientists")),
+            (102, "completely unrelated text about gardening tools"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_neardup(corpus, batch).collect()}
+    assert set(got) == {101, 102}  # one row per batch doc, exactly
+    assert got[101].decision == "near_duplicate" and got[101].match_id == 1
+    assert got[101].jaccard >= 0.5
+    assert got[102].decision == "kept"
+    assert got[102].match_id is None and got[102].jaccard is None
+
+
+def test_incremental_neardup_best_match_tie_is_lowest_corpus_id(spark):
+    """Two identical corpus docs: the batch copy must report the LOWEST
+    corpus id as its match, deterministically."""
+    from mariadb_to_graylog_spark.operators.dedup import incremental_neardup
+
+    text = "identical corpus page replicated under two ids for tie probing"
+    corpus = spark.createDataFrame(
+        [(7, text), (3, text)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    r = incremental_neardup(corpus, batch).collect()[0]
+    assert (r.decision, r.match_id, r.jaccard) == ("near_duplicate", 3, 1.0)
+    # plan sanity: bucket equi-join, no cartesian anywhere
+    plan = (
+        incremental_neardup(corpus, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -234,6 +234,14 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
     def para_lang():
         return pg.paragraph_language_mix(d).count()
 
+    def inc_neardup():
+        # FIXED 1000-page daily batch probing the n_docs-sized corpus
+        # index: cost should track the corpus's signature pass (~linear
+        # in docs), not the batch
+        corpus = d.filter(F.col("doc_id") >= 1000)
+        batch = d.filter(F.col("doc_id") < 1000)
+        return dd.incremental_neardup(corpus, batch).count()
+
     for name, fn in [
         ("substring_pairs", substring_pairs),
         ("shared_run_extents", run_extents),
@@ -253,6 +261,7 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("containment_pairs", containment),
         ("dsir_weights", dsir),
         ("paragraph_lang_mix", para_lang),
+        ("incremental_neardup", inc_neardup),
     ]:
         fn()  # full-plan warmup
         sec, n = timed(fn)
