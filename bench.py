@@ -164,6 +164,7 @@ QUERY_NAMES = [
     "semantic_decontam",
     "containment_pairs",
     "incremental_neardup",
+    "url_variants",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

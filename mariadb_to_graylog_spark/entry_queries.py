@@ -3738,6 +3738,110 @@ LEFT JOIN best ON best.bid = b.id AND best.rk = 1
 ORACLE_INCREMENTAL_NEARDUP = _incremental_neardup_oracle_sql()
 
 
+def q_url_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization: every doc cites its page URL;
+    every 2nd doc also cites a www + trailing-slash + tracking-param +
+    fragment variant, every 3rd doc a :443 + param-order pair -- all of
+    which must COLLAPSE to one canonical fetch key (n_raw_forms > 1),
+    the cheapest dedup in the pipeline (no bytes downloaded)."""
+    d = _documents(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), sid)
+    text = F.concat(
+        F.col("text"),
+        F.lit(" p "),
+        base,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" v https://www."),
+                F.col("source"),
+                F.lit(".example.com/d/"),
+                sid,
+                F.lit("/?utm_source=mail&ref=x#top"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" q1 https://"),
+                F.col("source"),
+                F.lit(".example.com:443/d/"),
+                sid,
+                F.lit("?b=2&a=1 q2 "),
+                base,
+                F.lit("?a=1&b=2"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = d.select("doc_id", text.alias("text"))
+    return tx.url_variant_stats(planted).select(
+        "canonical_url", "n_occurrences", "n_raw_forms", "n_docs"
+    )
+
+
+_SQL_CANON = """
+         lower(regexp_extract(x, '^(https?)://', 1)) || '://' ||
+         regexp_replace(lower(regexp_extract(x, '^https?://([^/:?#]+)', 1)),
+                        '^www\\.', '') ||
+         CASE WHEN regexp_extract(x, '^https?://[^/:?#]+:(\\d+)', 1) != ''
+               AND NOT (lower(regexp_extract(x, '^(https?)://', 1)) = 'http'
+                        AND regexp_extract(x, '^https?://[^/:?#]+:(\\d+)', 1) = '80')
+               AND NOT (lower(regexp_extract(x, '^(https?)://', 1)) = 'https'
+                        AND regexp_extract(x, '^https?://[^/:?#]+:(\\d+)', 1) = '443')
+              THEN ':' || regexp_extract(x, '^https?://[^/:?#]+:(\\d+)', 1)
+              ELSE '' END ||
+         regexp_replace(regexp_extract(x, '^https?://[^/?#]+(/[^?#]*)', 1),
+                        '/+$', '') ||
+         CASE WHEN array_to_string(list_sort(list_filter(
+                str_split(regexp_extract(x, '^https?://[^?#]*\\?([^#]*)', 1), '&'),
+                p -> length(p) > 0 AND regexp_extract(p,
+                  '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=', 1) = '')),
+                '&') != ''
+              THEN '?' || array_to_string(list_sort(list_filter(
+                str_split(regexp_extract(x, '^https?://[^?#]*\\?([^#]*)', 1), '&'),
+                p -> length(p) > 0 AND regexp_extract(p,
+                  '^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=', 1) = '')),
+                '&')
+              ELSE '' END
+"""
+
+ORACLE_URL_VARIANTS = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' p https://' || source || '.example.com/d/' || doc_id ||
+         CASE WHEN doc_id % 2 = 0
+              THEN ' v https://www.' || source || '.example.com/d/' || doc_id ||
+                   '/?utm_source=mail&ref=x#top'
+              ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' q1 https://' || source || '.example.com:443/d/' || doc_id ||
+                   '?b=2&a=1 q2 https://' || source || '.example.com/d/' ||
+                   doc_id || '?a=1&b=2'
+              ELSE '' END AS text
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '(https?://[A-Za-z0-9](?:[A-Za-z0-9.\\-]*[A-Za-z0-9])?(?::\\d+)?(?:/[^\\s]*)?)',
+    1)) AS x
+  FROM d
+),
+c AS (
+  SELECT doc_id, x AS raw,
+         {_SQL_CANON} AS canonical_url
+  FROM occ
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT md5(raw)) AS BIGINT) AS n_raw_forms,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM c
+WHERE canonical_url != ''
+GROUP BY canonical_url
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5361,6 +5465,7 @@ TRAINING_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "paragraph_lang_mix": q_paragraph_lang_mix,
     "incremental_neardup": q_incremental_neardup,
+    "url_variants": q_url_variants,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5449,6 +5554,7 @@ TRAINING_ORACLES = {
     "dsir_weights": ORACLE_DSIR_WEIGHTS,
     "paragraph_lang_mix": ORACLE_PARAGRAPH_LANG_MIX,
     "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
+    "url_variants": ORACLE_URL_VARIANTS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5480,6 +5586,7 @@ _DRIVER_PRIORITY = [
     "dsir_weights",
     "paragraph_lang_mix",
     "incremental_neardup",
+    "url_variants",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -134,8 +134,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # ln/round micro-nat folds + % bucketing under ANSI; paragraph
      # explode + window ties + integer div
      "dsir_weights", "paragraph_lang_mix",
-     # minhash fold + struct band keys + best-match struct min
-     "incremental_neardup"],
+     # minhash fold + struct band keys + best-match struct min; URL
+     # regexp pieces + HOF param filter/sort
+     "incremental_neardup", "url_variants"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

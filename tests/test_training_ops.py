@@ -3518,3 +3518,50 @@ def test_incremental_neardup_best_match_tie_is_lowest_corpus_id(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_canonical_url_goldens(spark):
+    """Every canonicalization rule, one golden each -- plus the non-URL
+    empty-string contract."""
+    from mariadb_to_graylog_spark.operators.textstats import canonical_url
+
+    cases = [
+        ("https://WWW.Example.COM/a/b/", "https://example.com/a/b"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        (
+            "https://example.com/a?utm_source=x&b=2&a=1&fbclid=z",
+            "https://example.com/a?a=1&b=2",
+        ),
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_url_variant_stats_collapses_planted_variants(spark):
+    """www + slash + tracking + fragment + param-order variants of one
+    page collapse to ONE canonical with the right raw-form count; a
+    URL-less doc contributes nothing."""
+    from mariadb_to_graylog_spark.operators.textstats import url_variant_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://example.com/page?a=1&b=2 and more"),
+            (2, "mirror https://www.example.com/page/?b=2&a=1&utm_source=m#x"),
+            (3, "again https://example.com/page?a=1&b=2 twice"),
+            (4, "no urls here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.canonical_url: r for r in url_variant_stats(df).collect()}
+    assert set(rows) == {"https://example.com/page?a=1&b=2"}
+    r = rows["https://example.com/page?a=1&b=2"]
+    assert (r.n_occurrences, r.n_raw_forms, r.n_docs) == (3, 2, 3)
