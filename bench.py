@@ -165,6 +165,7 @@ QUERY_NAMES = [
     "containment_pairs",
     "incremental_neardup",
     "url_variants",
+    "image_ahash_groups",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -3842,6 +3842,78 @@ GROUP BY canonical_url
 """
 
 
+def q_image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL pixel decodes: every doc becomes
+    a gradient PNG; every 5th is RE-ENCODED at a different zlib level
+    (offset +699992 preserves id % 17, so seed and pixels are identical
+    while the BYTES differ) -- md5-payload dedup is blind to the pair,
+    the aHash groups them (n_images >= 2).  The oracle recomputes every
+    hash from the closed-form pixel arithmetic in SQL, so the whole
+    encode -> zlib decode -> 8x8 integer average-pool -> bit-pack chain
+    must round-trip exactly."""
+    from mariadb_to_graylog_spark.operators import multimodal as mm
+
+    d = _documents(spark, sf_dir)
+    base = d.select("doc_id", "text", F.lit(6).alias("level"))
+    ren = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 699992).alias("doc_id"), "text", F.lit(1).alias("level")
+    )
+    media = mm.attach_gradient_images(
+        base.unionByName(ren), level_col="level", seed_mod=17
+    )
+    return mm.image_ahash_groups(media).select(
+        "ahash_hi", "ahash_lo", "n_images", F.col("min_id").cast("long").alias("min_id")
+    )
+
+
+ORACLE_IMAGE_AHASH_GROUPS = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) % 64 + 16 AS w,
+         octet_length(encode(text)) % 48 + 12 AS h,
+         doc_id % 17 AS seed
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 699992,
+         octet_length(encode(text)) % 64 + 16,
+         octet_length(encode(text)) % 48 + 12,
+         doc_id % 17
+  FROM documents WHERE doc_id % 5 = 0
+),
+xs AS (SELECT media_id, unnest(range(w)) AS x FROM imgs),
+ys AS (SELECT media_id, unnest(range(h)) AS y FROM imgs),
+pix AS (
+  SELECT i.media_id,
+         ((i.seed + 3 * x + 7 * y) % 256)
+         + ((2 * i.seed + 5 * x + y) % 256)
+         + ((3 * i.seed + x + 11 * y) % 256) AS gray,
+         ((y * 8) // i.h) * 8 + (x * 8) // i.w AS k
+  FROM imgs i JOIN xs USING (media_id) JOIN ys USING (media_id)
+),
+cells AS (
+  SELECT media_id, k, SUM(gray) AS cs, COUNT(*) AS cc
+  FROM pix GROUP BY 1, 2
+),
+tot AS (
+  SELECT media_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1
+),
+hashes AS (
+  SELECT c.media_id,
+         SUM(CASE WHEN c.k >= 32 AND c.cs * t.tc >= t.ts * c.cc
+                  THEN CAST(power(2, c.k - 32) AS BIGINT) ELSE 0 END) AS ahash_hi,
+         SUM(CASE WHEN c.k < 32 AND c.cs * t.tc >= t.ts * c.cc
+                  THEN CAST(power(2, c.k) AS BIGINT) ELSE 0 END) AS ahash_lo
+  FROM cells c JOIN tot t USING (media_id)
+  GROUP BY 1
+)
+SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi,
+       CAST(ahash_lo AS BIGINT) AS ahash_lo,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(media_id) AS BIGINT) AS min_id
+FROM hashes GROUP BY 1, 2
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5466,6 +5538,7 @@ TRAINING_QUERIES = {
     "paragraph_lang_mix": q_paragraph_lang_mix,
     "incremental_neardup": q_incremental_neardup,
     "url_variants": q_url_variants,
+    "image_ahash_groups": q_image_ahash_groups,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5555,6 +5628,7 @@ TRAINING_ORACLES = {
     "paragraph_lang_mix": ORACLE_PARAGRAPH_LANG_MIX,
     "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
     "url_variants": ORACLE_URL_VARIANTS,
+    "image_ahash_groups": ORACLE_IMAGE_AHASH_GROUPS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5587,6 +5661,7 @@ _DRIVER_PRIORITY = [
     "paragraph_lang_mix",
     "incremental_neardup",
     "url_variants",
+    "image_ahash_groups",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -361,3 +361,184 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int"), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def make_png_gradient(
+    width: int, height: int, seed: int, level: int = 6
+) -> bytes:
+    """A valid 8-bit RGB PNG whose PIXEL CONTENT is a closed-form gradient
+    of (seed, x, y) -- unlike ``make_png``'s flat fill, every pixel is
+    individually determined, so a perceptual hash over it is non-trivial
+    AND a SQL oracle can recompute it from the parameters without touching
+    the bytes.  ``level`` picks the zlib effort: level-1 and level-9
+    encodings of the same parameters are DIFFERENT BYTE STREAMS carrying
+    identical pixels -- the re-encode case byte-level dedup is blind to."""
+    rows = []
+    for y in range(height):
+        line = bytearray(b"\x00")  # filter type 0
+        for x in range(width):
+            line.append((seed + 3 * x + 7 * y) % 256)
+            line.append((2 * seed + 5 * x + y) % 256)
+            line.append((3 * seed + x + 11 * y) % 256)
+        rows.append(bytes(line))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def attach_gradient_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level_col: str | None = None,
+    seed_mod: int = 17,
+) -> DataFrame:
+    """(media_id, payload, width, height, seed): one gradient PNG per row,
+    dims from the text's utf-8 byte length (``_image_dims``), seed =
+    id % ``seed_mod``.  ``level_col`` (optional int column) picks the
+    zlib effort per row -- re-attaching the same logical image at a
+    different level plants a byte-distinct pixel-identical re-encode."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                raw = (
+                    row[text_col] if isinstance(row[text_col], str) else ""
+                ).encode("utf-8")
+                w, h = _image_dims(len(raw))
+                seed = mid % seed_mod
+                level = int(row[level_col]) if level_col else 6
+                out.append(
+                    (mid, make_png_gradient(w, h, seed, level), w, h, seed)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "width", "height", "seed"]
+            )
+
+    cols = [F.col(id_col).cast("long").alias(id_col), F.col(text_col)]
+    if level_col:
+        cols.append(F.col(level_col))
+    return df.select(*cols).mapInPandas(
+        _gen,
+        schema=(
+            "media_id long, payload binary, width long, height long, seed long"
+        ),
+    )
+
+
+def _decode_png_rgb8_filter0(b: bytes) -> "np.ndarray":
+    """Raster decode for the subset our encoders emit: 8-bit RGB, filter
+    type 0 on every scanline -- stdlib zlib only.  General PNGs (other
+    filters, palettes, interlace) are the documented PIL-gated extension
+    point (``decode_pixels_real``); this decoder RAISES on them rather
+    than guessing."""
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    o, w, h, idat = 8, None, None, b""
+    while o + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[o : o + 4])
+        tag = b[o + 4 : o + 8]
+        body = b[o + 8 : o + 8 + ln]
+        if tag == b"IHDR":
+            w, hh, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            h = hh
+            if (depth, ctype, interlace) != (8, 2, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNGs are decoded here; "
+                    "palette/alpha/interlace need PIL (decode_pixels_real)"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        o += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if (arr[:, 0] != 0).any():
+        raise NotImplementedError(
+            "non-zero PNG filter type; full defiltering needs PIL "
+            "(decode_pixels_real)"
+        )
+    return arr[:, 1:].reshape(h, w, 3)
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over REAL pixel decodes: gray = r+g+b per
+    pixel, 8x8 average-pool (pixel x belongs to cell x*8//w -- the exact
+    rule the oracle mirrors), bit_k = cell mean >= global mean evaluated
+    in INTEGER cross-multiplied form (cell_sum * total_cnt >= total_sum *
+    cell_cnt -- no float mean, no engine drift), packed row-major
+    (k = cell_y*8 + cell_x) into two 32-bit halves (ahash_hi, ahash_lo)
+    so no signed-64 overflow anywhere.
+
+    Byte-level dedup cannot pair a level-1 and a level-9 encode of the
+    same photo; the aHash is identical by construction.  Images smaller
+    than 8x8 on either axis raise (upsampling policy belongs to the
+    caller).  Arrow-batched numpy throughout -- decode + pool are the
+    unavoidable Python, everything after is DataFrame ops."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = _decode_png_rgb8_filter0(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                if w < 8 or h < 8:
+                    raise ValueError(f"image {mid}: {w}x{h} below 8x8 pool")
+                gray = px.astype(np.int64).sum(axis=2)
+                cx = (np.arange(w) * 8) // w
+                cy = (np.arange(h) * 8) // h
+                k = (cy[:, None] * 8 + cx[None, :]).ravel()
+                sums = np.zeros(64, dtype=np.int64)
+                cnts = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, k, gray.ravel())
+                np.add.at(cnts, k, 1)
+                total_sum, total_cnt = int(gray.sum()), w * h
+                bits = (sums * total_cnt) >= (total_sum * cnts)
+                lo = int(sum(1 << i for i in range(32) if bits[i]))
+                hi = int(sum(1 << (i - 32) for i in range(32, 64) if bits[i]))
+                out.append((int(mid), w, h, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "ahash_hi", "ahash_lo"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        _hash,
+        schema="media_id long, width long, height long, ahash_hi long, ahash_lo long",
+    )
+
+
+def image_ahash_groups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Re-encode dedup table: images grouped by exact perceptual hash --
+    (ahash_hi, ahash_lo, n_images, min_id).  n_images > 1 = visually
+    identical content under byte-distinct encodings (or true repeats);
+    the pixel-level twin of md5-payload exact dedup.  Only (id, two
+    longs) shuffle; payloads never leave the decode stage."""
+    return (
+        image_ahash(df, id_col, payload_col)
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min(id_col).alias("min_id"),
+        )
+    )

@@ -136,7 +136,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "dsir_weights", "paragraph_lang_mix",
      # minhash fold + struct band keys + best-match struct min; URL
      # regexp pieces + HOF param filter/sort
-     "incremental_neardup", "url_variants"],
+     "incremental_neardup", "url_variants",
+     # Arrow decode + integer pool (no SQL expr risk, but pins parity)
+     "image_ahash_groups"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

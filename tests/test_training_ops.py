@@ -3565,3 +3565,95 @@ def test_url_variant_stats_collapses_planted_variants(spark):
     assert set(rows) == {"https://example.com/page?a=1&b=2"}
     r = rows["https://example.com/page?a=1&b=2"]
     assert (r.n_occurrences, r.n_raw_forms, r.n_docs) == (3, 2, 3)
+
+
+def test_image_ahash_pairs_reencodes_md5_blind(spark):
+    """A level-1 and a level-9 encode of the same gradient are
+    byte-DISTINCT (md5 dedup sees two payloads) but pixel-identical --
+    the aHash must group them; a structurally different image (flat
+    fill) must not join.  (A SEED change is a constant brightness shift
+    and aHash is deliberately brightness-invariant -- same-dims
+    different-seed gradients DO share a hash; that's the perceptual
+    point, not a bug.)"""
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        image_ahash_groups,
+        make_png,
+        make_png_gradient,
+    )
+
+    rows = [
+        (1, bytearray(make_png_gradient(24, 16, 5, 1))),
+        (2, bytearray(make_png_gradient(24, 16, 5, 9))),
+        (3, bytearray(make_png(24, 16, pixel_byte=9))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    assert df.select(F.md5("payload")).distinct().count() == 3  # bytes differ
+    groups = image_ahash_groups(df).collect()
+    sizes = sorted(g.n_images for g in groups)
+    pair = [g for g in groups if g.n_images == 2]
+    assert sizes == [1, 2] and pair[0].min_id == 1
+
+
+def test_image_ahash_integer_pool_hand_check(spark):
+    """16x16 gradient: recompute the 64-cell integer average-pool and the
+    cross-multiplied bit rule in pure Python and demand equality."""
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        image_ahash,
+        make_png_gradient,
+    )
+
+    w = h = 16
+    seed = 3
+    df = spark.createDataFrame(
+        [(7, bytearray(make_png_gradient(w, h, seed)))],
+        "media_id long, payload binary",
+    )
+    r = image_ahash(df).collect()[0]
+    sums = [0] * 64
+    cnts = [0] * 64
+    total = 0
+    for y in range(h):
+        for x in range(w):
+            g = (
+                (seed + 3 * x + 7 * y) % 256
+                + (2 * seed + 5 * x + y) % 256
+                + (3 * seed + x + 11 * y) % 256
+            )
+            k = (y * 8 // h) * 8 + (x * 8 // w)
+            sums[k] += g
+            cnts[k] += 1
+            total += g
+    bits = [sums[k] * (w * h) >= total * cnts[k] for k in range(64)]
+    lo = sum(1 << i for i in range(32) if bits[i])
+    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+    assert (r.ahash_hi, r.ahash_lo, r.width, r.height) == (hi, lo, w, h)
+
+
+def test_image_ahash_decode_contract(spark):
+    """The stdlib decoder is scoped to what our encoders emit: a non-PNG
+    payload raises ValueError, an unsupported color type raises
+    NotImplementedError (the documented PIL extension point)."""
+    import pytest as _pytest
+
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        _decode_png_rgb8_filter0,
+        make_wav,
+    )
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_rgb8_filter0(make_wav(8000, 1, 4))
+    # grayscale (color type 0) header: depth 8, ctype 0
+    import struct as _struct
+    import zlib as _zlib
+
+    from mariadb_to_graylog_spark.operators.multimodal import _png_chunk
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress((b"\x00" + b"\x10" * 4) * 4))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        _decode_png_rgb8_filter0(gray_png)
