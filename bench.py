@@ -166,6 +166,7 @@ QUERY_NAMES = [
     "incremental_neardup",
     "url_variants",
     "image_ahash_groups",
+    "html_extract",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -3914,6 +3914,78 @@ FROM hashes GROUP BY 1, 2
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl text extraction: every doc wrapped in an HTML shell
+    (title, style+script subtrees with decoy tags INSIDE them, nav
+    links, entities; every 4th doc a 30-link farm) -- the stripped
+    running text plus the link-density boilerplate signal.  The whole
+    regexp chain (script/style subtree drop -> comment drop -> tag
+    flatten -> entity decode -> whitespace collapse) must match the
+    DuckDB twin byte-for-byte."""
+    d = _documents(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit('</title><style>p{color:red}</style><script>var x = 1 < 2 && "<p>";</script>'),
+        F.lit('</head><body><!-- nav --><nav><a href="/a">Home</a> <a href="/b">About</a></nav><p>'),
+        F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt; &nbsp;ok</p>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.repeat(F.lit('<a href="/x">x</a> '), 30),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    planted = d.select("doc_id", html.alias("html"))
+    return tx.html_extract_stats(planted).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "n_tags",
+        "n_links",
+        "text_chars",
+        "link_density_ppm",
+    )
+
+
+ORACLE_HTML_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><title>' || source ||
+         '</title><style>p{color:red}</style><script>var x = 1 < 2 && "<p>";</script>' ||
+         '</head><body><!-- nav --><nav><a href="/a">Home</a> <a href="/b">About</a></nav><p>' ||
+         text || ' &amp; more &lt;tags&gt; &nbsp;ok</p>' ||
+         CASE WHEN doc_id % 4 = 0 THEN repeat('<a href="/x">x</a> ', 30)
+              ELSE '' END ||
+         '</body></html>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id, html,
+         regexp_replace(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g') AS text
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       text,
+       CAST(len(regexp_extract_all(html, '(<)[A-Za-z/!]', 1)) AS BIGINT) AS n_tags,
+       CAST(len(regexp_extract_all(html, '(?i)(<a)\b', 1)) AS BIGINT) AS n_links,
+       CAST(length(text) AS BIGINT) AS text_chars,
+       CAST(len(regexp_extract_all(html, '(?i)(<a)\b', 1)) * 1000000
+            // greatest(length(text), 1) AS BIGINT) AS link_density_ppm
+FROM s
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5539,6 +5611,7 @@ TRAINING_QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "url_variants": q_url_variants,
     "image_ahash_groups": q_image_ahash_groups,
+    "html_extract": q_html_extract,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5629,6 +5702,7 @@ TRAINING_ORACLES = {
     "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
     "url_variants": ORACLE_URL_VARIANTS,
     "image_ahash_groups": ORACLE_IMAGE_AHASH_GROUPS,
+    "html_extract": ORACLE_HTML_EXTRACT,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5662,6 +5736,7 @@ _DRIVER_PRIORITY = [
     "incremental_neardup",
     "url_variants",
     "image_ahash_groups",
+    "html_extract",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -137,8 +137,9 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      # minhash fold + struct band keys + best-match struct min; URL
      # regexp pieces + HOF param filter/sort
      "incremental_neardup", "url_variants",
-     # Arrow decode + integer pool (no SQL expr risk, but pins parity)
-     "image_ahash_groups"],
+     # Arrow decode + integer pool (no SQL expr risk, but pins parity);
+     # regexp-chain extraction + div ppm
+     "image_ahash_groups", "html_extract"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

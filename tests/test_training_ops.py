@@ -3657,3 +3657,46 @@ def test_image_ahash_decode_contract(spark):
     )
     with _pytest.raises(NotImplementedError, match="PIL"):
         _decode_png_rgb8_filter0(gray_png)
+
+
+def test_strip_html_goldens(spark):
+    """Script/style SUBTREES vanish (including decoy tags inside them),
+    comments vanish, tags flatten to spaces, entities decode in the
+    order that keeps &amp;lt; literal, whitespace collapses."""
+    from mariadb_to_graylog_spark.operators.textstats import strip_html
+
+    cases = [
+        (
+            '<p>Hello <b>world</b></p><script>var a = "<p>fake</p>";</script>',
+            "Hello world",
+        ),
+        ("<style>p { color: red }</style><p>Text</p>", "Text"),
+        ("<!-- secret --><div>kept</div>", "kept"),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; &nbsp;f", "a & b <c> \"d\" 'e' f"),
+        ("&amp;lt;", "&lt;"),
+        ("  <br/> lots   of\n\n space ", "lots of space"),
+        ("plain text stays", "plain text stays"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r.t for r in df.select(strip_html(F.col("h")).alias("t")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_html_extract_stats_link_farm_flagged(spark):
+    """A nav shell with 40 links and 3 words of text must report a
+    link_density_ppm orders of magnitude above an article page."""
+    from mariadb_to_graylog_spark.operators.textstats import html_extract_stats
+
+    article = "<html><body><a href='/'>Home</a><p>" + ("word " * 200) + "</p></body></html>"
+    farm = (
+        "<html><body>" + ('<a href="/x">x</a> ' * 40) + "<p>tiny text here</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, article), (2, farm)], "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in html_extract_stats(df).collect()}
+    assert got[1].n_links == 1 and got[2].n_links == 40
+    assert got[2].link_density_ppm > 100 * got[1].link_density_ppm
+    assert got[1].text.startswith("Home word word")
+    # integer ppm: exact division check
+    assert got[2].link_density_ppm == 40 * 1_000_000 // got[2].text_chars
