@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "url_variants",
     "image_ahash_groups",
     "html_extract",
+    "audio_fp_groups",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

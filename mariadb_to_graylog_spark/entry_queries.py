@@ -3986,6 +3986,66 @@ FROM s
 """
 
 
+def q_audio_fp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-robust audio dedup over REAL PCM decodes: every doc
+    becomes a deterministic tone WAV; every 6th is re-uploaded with a
+    LIST/INFO metadata chunk (offset +799986 preserves id % 23, so the
+    PCM is identical while the BYTES differ) -- md5-payload dedup is
+    blind, the band-energy fingerprint groups them.  The oracle
+    recomputes every fingerprint from the closed-form sample arithmetic
+    in SQL: the whole encode -> chunk-walk decode -> integer band-sum ->
+    md5 chain must round-trip."""
+    from mariadb_to_graylog_spark.operators import multimodal as mm
+
+    d = _documents(spark, sf_dir)
+    base = d.select("doc_id", "text", F.lit(False).alias("pad"))
+    ren = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 799986).alias("doc_id"), "text", F.lit(True).alias("pad")
+    )
+    media = mm.attach_tone_clips(
+        base.unionByName(ren), pad_col="pad", seed_mod=23
+    )
+    return mm.audio_fingerprint_groups(media).select(
+        "fingerprint", "n_clips", F.col("min_id").cast("long").alias("min_id")
+    )
+
+
+ORACLE_AUDIO_FP_GROUPS = """
+WITH clips AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) % 256 + 64 AS n,
+         doc_id % 23 AS seed
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 799986,
+         octet_length(encode(text)) % 256 + 64,
+         doc_id % 23
+  FROM documents WHERE doc_id % 6 = 0
+),
+samp AS (
+  SELECT media_id,
+         unnest(range(n)) AS i,
+         n, seed
+  FROM clips
+),
+bands AS (
+  SELECT media_id,
+         (i * 8) // n AS b,
+         SUM(abs(((seed + 1) * (i + 7) * (i + 13)) % 65536 - 32768)) AS es
+  FROM samp GROUP BY 1, 2
+),
+fp AS (
+  SELECT media_id,
+         md5(string_agg(CAST(es AS VARCHAR), '-' ORDER BY b)) AS fingerprint
+  FROM bands GROUP BY 1
+)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(min(media_id) AS BIGINT) AS min_id
+FROM fp GROUP BY 1
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5612,6 +5672,7 @@ TRAINING_QUERIES = {
     "url_variants": q_url_variants,
     "image_ahash_groups": q_image_ahash_groups,
     "html_extract": q_html_extract,
+    "audio_fp_groups": q_audio_fp_groups,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5703,6 +5764,7 @@ TRAINING_ORACLES = {
     "url_variants": ORACLE_URL_VARIANTS,
     "image_ahash_groups": ORACLE_IMAGE_AHASH_GROUPS,
     "html_extract": ORACLE_HTML_EXTRACT,
+    "audio_fp_groups": ORACLE_AUDIO_FP_GROUPS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5737,6 +5799,7 @@ _DRIVER_PRIORITY = [
     "url_variants",
     "image_ahash_groups",
     "html_extract",
+    "audio_fp_groups",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

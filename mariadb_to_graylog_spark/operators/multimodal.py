@@ -542,3 +542,154 @@ def image_ahash_groups(
             F.min(id_col).alias("min_id"),
         )
     )
+
+
+def make_wav_tone(
+    sample_rate: int, n_frames: int, seed: int, pad_list: bool = False
+) -> bytes:
+    """A valid mono 16-bit PCM WAV whose SAMPLES are the closed form
+    ``((seed+1)*(i+7)*(i+13)) % 65536 - 32768`` -- per-sample content a
+    SQL oracle can recompute, unlike ``make_wav``'s silence.
+    ``pad_list=True`` inserts a LIST/INFO chunk between fmt and data:
+    byte-DISTINCT container, identical PCM -- the tag-edited re-upload
+    byte-level dedup cannot pair."""
+    samples = bytearray()
+    for i in range(n_frames):
+        v = ((seed + 1) * (i + 7) * (i + 13)) % 65536 - 32768
+        samples += struct.pack("<h", v)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if pad_list:
+        info = b"INFOICMT" + struct.pack("<I", 12) + b"re-encoded \x00"
+        body += b"LIST" + struct.pack("<I", len(info)) + info
+    body += b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_pcm16(b: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, int64 sample array) from a mono 16-bit PCM WAV,
+    walking chunks (LIST/INFO padding skipped like any other chunk).
+    Raises on non-PCM / non-16-bit / multi-channel -- the scope our
+    encoder emits; resampling/stereo-mix belong to a real audio lib."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    off, rate, data = 12, None, None
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+        if tag == b"fmt ":
+            fmt_code, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[off + 8 : off + 24]
+            )
+            if (fmt_code, ch, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    "only mono 16-bit PCM is fingerprinted here; other "
+                    "shapes need an audio library"
+                )
+        elif tag == b"data":
+            data = b[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Container-robust audio identity: decode the REAL PCM, split into
+    ``n_bands`` equal time bands (sample i -> band i*n_bands//n, the
+    same index rule as the image pool so the oracle mirrors it), sum
+    |sample| per band as exact integers, fingerprint = md5 of the
+    '-'-joined band sums.  Two files with identical PCM under different
+    container metadata (LIST/INFO tags, re-muxing) share the
+    fingerprint while their md5(payload) differ.  Arrow-batched numpy;
+    only (id, rate, n, 32-byte fp) leave the decode stage."""
+    import hashlib
+
+    import numpy as np
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, s = _wav_pcm16(bytes(payload))
+                n = len(s)
+                if n < n_bands:
+                    raise ValueError(f"clip {mid}: {n} samples < {n_bands} bands")
+                band = (np.arange(n) * n_bands) // n
+                sums = np.zeros(n_bands, dtype=np.int64)
+                np.add.at(sums, band, np.abs(s))
+                fp = hashlib.md5(
+                    "-".join(str(int(x)) for x in sums).encode()
+                ).hexdigest()
+                out.append((int(mid), rate, n, fp))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "n_samples", "fingerprint"]
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(
+        _fp,
+        schema="media_id long, sample_rate long, n_samples long, fingerprint string",
+    )
+
+
+def audio_fingerprint_groups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Re-upload dedup table for audio: clips grouped by PCM fingerprint
+    -- (fingerprint, n_clips, min_id); the audio twin of
+    ``image_ahash_groups``."""
+    return (
+        audio_fingerprint(df, id_col, payload_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min(id_col).alias("min_id"),
+        )
+    )
+
+
+def attach_tone_clips(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pad_col: str | None = None,
+    seed_mod: int = 23,
+) -> DataFrame:
+    """(media_id, payload): one tone WAV per row -- n_samples from the
+    text's utf-8 byte length (% 256 + 64), rate 8000, seed =
+    id % ``seed_mod``; ``pad_col`` (optional bool column) inserts the
+    LIST/INFO padding chunk, planting a byte-distinct PCM-identical
+    re-upload."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mid = int(row[id_col])
+                raw = (
+                    row[text_col] if isinstance(row[text_col], str) else ""
+                ).encode("utf-8")
+                n = len(raw) % 256 + 64
+                pad = bool(row[pad_col]) if pad_col else False
+                out.append(
+                    (mid, make_wav_tone(8000, n, mid % seed_mod, pad_list=pad))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    cols = [F.col(id_col).cast("long").alias(id_col), F.col(text_col)]
+    if pad_col:
+        cols.append(F.col(pad_col))
+    return df.select(*cols).mapInPandas(
+        _gen, schema="media_id long, payload binary"
+    )

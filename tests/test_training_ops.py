@@ -3700,3 +3700,53 @@ def test_html_extract_stats_link_farm_flagged(spark):
     assert got[1].text.startswith("Home word word")
     # integer ppm: exact division check
     assert got[2].link_density_ppm == 40 * 1_000_000 // got[2].text_chars
+
+
+def test_audio_fingerprint_pairs_remuxed_clip(spark):
+    """A LIST/INFO-tagged re-upload is byte-distinct (md5 dedup sees two
+    payloads) but PCM-identical -- the fingerprint must group it with
+    the original; a different-seed tone must not join."""
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        audio_fingerprint_groups,
+        make_wav_tone,
+    )
+
+    rows = [
+        (1, bytearray(make_wav_tone(8000, 120, 5))),
+        (2, bytearray(make_wav_tone(8000, 120, 5, pad_list=True))),
+        (3, bytearray(make_wav_tone(8000, 120, 6))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    assert df.select(F.md5("payload")).distinct().count() == 3
+    groups = {g.n_clips: g for g in audio_fingerprint_groups(df).collect()}
+    assert set(groups) == {1, 2} and groups[2].min_id == 1
+
+
+def test_audio_fingerprint_hand_bands_and_contract(spark):
+    """Band sums recomputed in pure Python must give the identical md5;
+    a stereo clip raises at the documented scope boundary."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from mariadb_to_graylog_spark.operators.multimodal import (
+        _wav_pcm16,
+        audio_fingerprint,
+        make_wav,
+        make_wav_tone,
+    )
+
+    n, seed = 100, 3
+    df = spark.createDataFrame(
+        [(9, bytearray(make_wav_tone(8000, n, seed)))],
+        "media_id long, payload binary",
+    )
+    r = audio_fingerprint(df).collect()[0]
+    sums = [0] * 8
+    for i in range(n):
+        v = ((seed + 1) * (i + 7) * (i + 13)) % 65536 - 32768
+        sums[i * 8 // n] += abs(v)
+    exp = hashlib.md5("-".join(str(x) for x in sums).encode()).hexdigest()
+    assert (r.fingerprint, r.sample_rate, r.n_samples) == (exp, 8000, n)
+    with _pytest.raises(NotImplementedError, match="mono 16-bit"):
+        _wav_pcm16(make_wav(8000, 2, 50))
