@@ -4046,6 +4046,73 @@ FROM fp GROUP BY 1
 """
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-integrity rollup a benchmark owner reads: per eval SUITE
+    (planted as eval_id % 3), how many of its items leaked into training
+    docs at all, how many docs are affected, and the total/worst shared
+    run -- the one-page summary over the per-span audit trail
+    (`decontaminate_extents`).  Self-matches (a doc vs itself in the
+    leaked slice) are excluded: the report is about cross-doc leakage."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    d = _documents(spark, sf_dir)
+    eval_df = d.filter(F.col("doc_id") % 13 == 0)
+    ext = contamination_extents(d, eval_df, n=13).filter(
+        F.col("doc_id") != F.col("eval_id")
+    )
+    ev = (
+        eval_df.select((F.col("doc_id") % 3).cast("long").alias("suite"))
+        .groupBy("suite")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_items"))
+    )
+    lk = (
+        ext.select(
+            (F.col("eval_id") % 3).cast("long").alias("suite"),
+            "eval_id",
+            "doc_id",
+            "run_tokens",
+        )
+        .groupBy("suite")
+        .agg(
+            F.count_distinct("eval_id").cast("long").alias("n_leaked_items"),
+            F.count_distinct("doc_id").cast("long").alias("n_affected_docs"),
+            F.sum("run_tokens").cast("long").alias("total_run_tokens"),
+            F.max("run_tokens").cast("long").alias("max_run_tokens"),
+        )
+    )
+    return ev.join(lk, "suite", "left").select(
+        "suite",
+        "n_eval_items",
+        F.coalesce("n_leaked_items", F.lit(0)).cast("long").alias("n_leaked_items"),
+        F.coalesce("n_affected_docs", F.lit(0)).cast("long").alias("n_affected_docs"),
+        F.coalesce("total_run_tokens", F.lit(0)).cast("long").alias("total_run_tokens"),
+        F.coalesce("max_run_tokens", F.lit(0)).cast("long").alias("max_run_tokens"),
+    )
+
+
+ORACLE_CONTAMINATION_REPORT = f"""
+WITH ext AS ({ORACLE_DECONTAMINATE_EXTENTS}),
+ev AS (
+  SELECT CAST(doc_id % 3 AS BIGINT) AS suite, CAST(count(*) AS BIGINT) AS n_eval_items
+  FROM documents WHERE doc_id % 13 = 0 GROUP BY 1
+),
+lk AS (
+  SELECT CAST(eval_id % 3 AS BIGINT) AS suite,
+         CAST(count(DISTINCT eval_id) AS BIGINT) AS n_leaked_items,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_affected_docs,
+         CAST(SUM(run_tokens) AS BIGINT) AS total_run_tokens,
+         CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+  FROM ext WHERE doc_id != eval_id GROUP BY 1
+)
+SELECT ev.suite, ev.n_eval_items,
+       CAST(coalesce(lk.n_leaked_items, 0) AS BIGINT) AS n_leaked_items,
+       CAST(coalesce(lk.n_affected_docs, 0) AS BIGINT) AS n_affected_docs,
+       CAST(coalesce(lk.total_run_tokens, 0) AS BIGINT) AS total_run_tokens,
+       CAST(coalesce(lk.max_run_tokens, 0) AS BIGINT) AS max_run_tokens
+FROM ev LEFT JOIN lk ON lk.suite = ev.suite
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5673,6 +5740,7 @@ TRAINING_QUERIES = {
     "image_ahash_groups": q_image_ahash_groups,
     "html_extract": q_html_extract,
     "audio_fp_groups": q_audio_fp_groups,
+    "contamination_report": q_contamination_report,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5765,6 +5833,7 @@ TRAINING_ORACLES = {
     "image_ahash_groups": ORACLE_IMAGE_AHASH_GROUPS,
     "html_extract": ORACLE_HTML_EXTRACT,
     "audio_fp_groups": ORACLE_AUDIO_FP_GROUPS,
+    "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5800,6 +5869,7 @@ _DRIVER_PRIORITY = [
     "image_ahash_groups",
     "html_extract",
     "audio_fp_groups",
+    "contamination_report",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -3750,3 +3750,28 @@ def test_audio_fingerprint_hand_bands_and_contract(spark):
     assert (r.fingerprint, r.sample_rate, r.n_samples) == (exp, 8000, n)
     with _pytest.raises(NotImplementedError, match="mono 16-bit"):
         _wav_pcm16(make_wav(8000, 2, 50))
+
+
+def test_contamination_report_rollup_hand_counts(spark):
+    """Two suites, one with a planted cross-doc leak, one clean: the
+    report attributes the leak to the right suite and zero-fills the
+    clean one."""
+    from mariadb_to_graylog_spark.operators.decontam import contamination_extents
+
+    leak = " ".join(f"w{i}x" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, leak + " trailing content beyond the eval item"),
+            (2, "entirely unrelated page about something else whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, leak), (11, "pristine eval item nothing quotes ever")],
+        "eval_id long, text string",
+    )
+    ext = contamination_extents(
+        docs, ev.withColumnRenamed("eval_id", "doc_id"), n=13
+    )
+    got = {(r.doc_id, r.eval_id): r.run_tokens for r in ext.collect()}
+    assert got == {(1, 10): 20}
