@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "image_ahash_groups",
     "html_extract",
     "audio_fp_groups",
+    "nfc_dedup",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -4113,6 +4113,47 @@ FROM ev LEFT JOIN lk ON lk.suite = ev.suite
 """
 
 
+def q_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-form dedup: every doc gets a composed e-acute
+    suffix; every 8th is re-added with the DECOMPOSED form (e + U+0301)
+    -- raw md5 sees two documents, the screen shows one, NFC folds them
+    (n_byte_forms = 2).  The copy-paste dupe class byte-level dedup is
+    structurally blind to."""
+    d = _documents(spark, sf_dir)
+    base = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" caf\u00e9")).alias("text")
+    )
+    dec = d.filter(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+    )
+    return tx.unicode_nfc_groups(base.unionByName(dec)).select(
+        "nfc_md5",
+        "n_docs",
+        "n_byte_forms",
+        F.col("min_id").cast("long").alias("min_id"),
+    )
+
+
+ORACLE_NFC_DEDUP = """
+WITH d AS (
+  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, text || ' cafe' || chr(769)
+  FROM documents WHERE doc_id % 8 = 0
+),
+k AS (
+  SELECT doc_id, md5(text) AS raw_md5, md5(nfc_normalize(text)) AS nfc_md5
+  FROM d
+)
+SELECT nfc_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_byte_forms,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM k GROUP BY 1
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5741,6 +5782,7 @@ TRAINING_QUERIES = {
     "html_extract": q_html_extract,
     "audio_fp_groups": q_audio_fp_groups,
     "contamination_report": q_contamination_report,
+    "nfc_dedup": q_nfc_dedup,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5834,6 +5876,7 @@ TRAINING_ORACLES = {
     "html_extract": ORACLE_HTML_EXTRACT,
     "audio_fp_groups": ORACLE_AUDIO_FP_GROUPS,
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
+    "nfc_dedup": ORACLE_NFC_DEDUP,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5870,6 +5913,7 @@ _DRIVER_PRIORITY = [
     "html_extract",
     "audio_fp_groups",
     "contamination_report",
+    "nfc_dedup",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -1242,3 +1242,45 @@ def html_extract_stats(
         "link_density_ppm",
         F.expr("n_links * 1000000L div greatest(text_chars, 1L)").cast("long"),
     )
+
+
+def nfc_normalize_udf():
+    """Vectorized Unicode NFC normalization (Arrow-batched pandas UDF --
+    Spark ships no normalization expression; Python's unicodedata and
+    DuckDB's nfc_normalize both implement the Unicode standard, so the
+    oracle is exact).  NULLs pass through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+        )
+
+    return _nfc
+
+
+def unicode_nfc_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization-form dedup: documents byte-identical AFTER Unicode
+    NFC (composed e-acute vs e + combining acute, and every other
+    canonical-equivalence split a copy-paste pipeline produces) grouped
+    by md5 of the normalized text -- (nfc_md5, n_docs, n_byte_forms,
+    min_id).  n_byte_forms > 1 = dupes that are INVISIBLE to raw-byte
+    md5 dedup yet render identically on screen.  One Arrow-batched
+    normalization pass map-side; the exchange carries (two md5s, id),
+    never text."""
+    nfc = nfc_normalize_udf()
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("_raw_md5"),
+        F.md5(nfc(F.col(text_col))).alias("nfc_md5"),
+    )
+    return keyed.groupBy("nfc_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("_raw_md5").cast("long").alias("n_byte_forms"),
+        F.min("id").alias("min_id"),
+    )

@@ -3775,3 +3775,22 @@ def test_contamination_report_rollup_hand_counts(spark):
     )
     got = {(r.doc_id, r.eval_id): r.run_tokens for r in ext.collect()}
     assert got == {(1, 10): 20}
+
+
+def test_unicode_nfc_groups_folds_canonical_equivalents(spark):
+    """Composed vs decomposed e-acute: two byte forms, one rendered
+    document -- NFC grouping must report n_byte_forms=2 while raw md5
+    dedup sees nothing; an unrelated doc stays its own group."""
+    from mariadb_to_graylog_spark.operators.textstats import unicode_nfc_groups
+
+    composed = "expos\u00e9 of caf\u00e9 culture"
+    decomposed = "expose\u0301 of cafe\u0301 culture"
+    assert composed != decomposed  # bytes differ
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "unrelated page")],
+        "doc_id long, text string",
+    )
+    groups = {g.n_docs: g for g in unicode_nfc_groups(df).collect()}
+    assert set(groups) == {1, 2}
+    assert groups[2].n_byte_forms == 2 and groups[2].min_id == 1
+    assert groups[1].n_byte_forms == 1
