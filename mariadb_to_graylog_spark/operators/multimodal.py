@@ -406,16 +406,14 @@ def attach_gradient_images(
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                mid = int(row[id_col])
-                raw = (
-                    row[text_col] if isinstance(row[text_col], str) else ""
-                ).encode("utf-8")
+            levels = pdf[level_col] if level_col else [6] * len(pdf)
+            for mid, text, level in zip(pdf[id_col], pdf[text_col], levels):
+                mid = int(mid)
+                raw = (text if isinstance(text, str) else "").encode("utf-8")
                 w, h = _image_dims(len(raw))
                 seed = mid % seed_mod
-                level = int(row[level_col]) if level_col else 6
                 out.append(
-                    (mid, make_png_gradient(w, h, seed, level), w, h, seed)
+                    (mid, make_png_gradient(w, h, seed, int(level)), w, h, seed)
                 )
             yield pd.DataFrame(
                 out, columns=["media_id", "payload", "width", "height", "seed"]
@@ -675,15 +673,13 @@ def attach_tone_clips(
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                mid = int(row[id_col])
-                raw = (
-                    row[text_col] if isinstance(row[text_col], str) else ""
-                ).encode("utf-8")
+            pads = pdf[pad_col] if pad_col else [False] * len(pdf)
+            for mid, text, pad in zip(pdf[id_col], pdf[text_col], pads):
+                mid = int(mid)
+                raw = (text if isinstance(text, str) else "").encode("utf-8")
                 n = len(raw) % 256 + 64
-                pad = bool(row[pad_col]) if pad_col else False
                 out.append(
-                    (mid, make_wav_tone(8000, n, mid % seed_mod, pad_list=pad))
+                    (mid, make_wav_tone(8000, n, mid % seed_mod, pad_list=bool(pad)))
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
