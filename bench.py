@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "html_extract",
     "audio_fp_groups",
     "nfc_dedup",
+    "pack_segments",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -4154,6 +4154,52 @@ FROM k GROUP BY 1
 """
 
 
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-mask prep table: per packed sequence, its document
+    segment structure (segments, boundary crossers in/out, fill) --
+    every sequence but each shard's padded last one must be exactly
+    full, and crossing counts are what a mask-isolated packing run
+    budgets."""
+    d = _documents(spark, sf_dir)
+    return mx.pack_segment_stats(d, seq_len=256, shards=8, salt="pack1").select(
+        "shard", "seq_idx", "n_segments", "n_crossing_in", "n_crossing_out",
+        "filled_tokens",
+    )
+
+
+ORACLE_PACK_SEGMENTS = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack1'), 1, 8) AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY h % 8 ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_offset
+  FROM t WHERE n_tokens > 0
+), seg AS (
+  SELECT shard, stream_offset, n_tokens,
+         stream_offset + n_tokens - 1 AS last_tok,
+         unnest(range(stream_offset // 256,
+                      (stream_offset + n_tokens - 1) // 256 + 1)) AS seq_idx
+  FROM s
+)
+SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN stream_offset < seq_idx * 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossing_in,
+       CAST(SUM(CASE WHEN last_tok > (seq_idx + 1) * 256 - 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossing_out,
+       CAST(SUM(least(last_tok, (seq_idx + 1) * 256 - 1)
+                - greatest(stream_offset, seq_idx * 256) + 1) AS BIGINT)
+         AS filled_tokens
+FROM seg GROUP BY 1, 2
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5783,6 +5829,7 @@ TRAINING_QUERIES = {
     "audio_fp_groups": q_audio_fp_groups,
     "contamination_report": q_contamination_report,
     "nfc_dedup": q_nfc_dedup,
+    "pack_segments": q_pack_segments,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5877,6 +5924,7 @@ TRAINING_ORACLES = {
     "audio_fp_groups": ORACLE_AUDIO_FP_GROUPS,
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "nfc_dedup": ORACLE_NFC_DEDUP,
+    "pack_segments": ORACLE_PACK_SEGMENTS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5914,6 +5962,7 @@ _DRIVER_PRIORITY = [
     "audio_fp_groups",
     "contamination_report",
     "nfc_dedup",
+    "pack_segments",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -229,3 +229,61 @@ def temperature_mixture(
             F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
         )
     )
+
+
+def pack_segment_stats(
+    df: DataFrame,
+    seq_len: int = 256,
+    shards: int = 8,
+    salt: str = "pack1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-SEQUENCE view of ``pack_sequences`` -- for every packed
+    training sequence, the segment structure an attention-mask builder
+    (and a boundary-pollution analysis) reads:
+
+    (shard, seq_idx, n_segments, n_crossing_in, n_crossing_out,
+     filled_tokens)
+
+    * ``n_segments``       documents contributing >= 1 token
+    * ``n_crossing_in``    segments whose document BEGAN in an earlier
+                           sequence (a mid-document sequence start --
+                           the context the mask must not attend across
+                           if packing is mask-isolated)
+    * ``n_crossing_out``   segments continuing into the next sequence
+    * ``filled_tokens``    token count (== seq_len everywhere except
+                           each shard's final, padded sequence)
+
+    Derived entirely from ``pack_sequences``'s integer positions -- one
+    explode over each doc's spanned sequence range (bounded: a doc adds
+    seqs_spanned rows, total rows = total_tokens/seq_len + n_docs), one
+    (shard, seq_idx) exchange.  Zero-token docs occupy an empty slot in
+    the stream and contribute no segment here -- nothing to mask."""
+    p = pack_sequences(df, seq_len, shards, salt, text_col, id_col)
+    docs = p.filter(F.col("n_tokens") > 0).select(
+        "shard",
+        "stream_offset",
+        "n_tokens",
+        (F.col("stream_offset") + F.col("n_tokens") - 1).alias("_last"),
+        F.explode(F.sequence(F.col("seq_start"), F.col("seq_end"))).alias(
+            "seq_idx"
+        ),
+    )
+    lo = F.col("seq_idx") * seq_len
+    hi = (F.col("seq_idx") + 1) * seq_len - 1
+    seg = docs.select(
+        "shard",
+        "seq_idx",
+        (F.col("stream_offset") < lo).cast("long").alias("_in"),
+        (F.col("_last") > hi).cast("long").alias("_out"),
+        (
+            F.least(F.col("_last"), hi) - F.greatest(F.col("stream_offset"), lo) + 1
+        ).alias("_fill"),
+    )
+    return seg.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("_in").cast("long").alias("n_crossing_in"),
+        F.sum("_out").cast("long").alias("n_crossing_out"),
+        F.sum("_fill").cast("long").alias("filled_tokens"),
+    )

@@ -3794,3 +3794,45 @@ def test_unicode_nfc_groups_folds_canonical_equivalents(spark):
     assert set(groups) == {1, 2}
     assert groups[2].n_byte_forms == 2 and groups[2].min_id == 1
     assert groups[1].n_byte_forms == 1
+
+
+def test_pack_segment_stats_full_sequences_and_crossings(spark):
+    """3 docs of 10/7/5 tokens packed at seq_len=8 into one shard: hand
+    reconstruct the stream and demand exact segment/crossing/fill
+    counts, with only the final sequence under-filled."""
+    from mariadb_to_graylog_spark.operators.dedup import h32  # noqa: F401
+    from mariadb_to_graylog_spark.operators.mixing import (
+        pack_segment_stats,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10))),
+            (2, " ".join(f"b{i}" for i in range(7))),
+            (3, " ".join(f"c{i}" for i in range(5))),
+        ],
+        "doc_id long, text string",
+    )
+    p = {r.doc_id: r for r in pack_sequences(docs, seq_len=8, shards=1).collect()}
+    order = sorted(p.values(), key=lambda r: r.stream_offset)
+    got = {
+        (r.shard, r.seq_idx): r
+        for r in pack_segment_stats(docs, seq_len=8, shards=1).collect()
+    }
+    # hand model: stream of 22 tokens -> seqs 0..2; every seq except the
+    # last is exactly full
+    total = sum(r.n_tokens for r in order)
+    n_seqs = (total + 7) // 8
+    assert set(got) == {(0, i) for i in range(n_seqs)}
+    for i in range(n_seqs):
+        r = got[(0, i)]
+        expect_fill = 8 if i < n_seqs - 1 else total - 8 * (n_seqs - 1)
+        assert r.filled_tokens == expect_fill, (i, r)
+    # crossing bookkeeping: every boundary between consecutive sequences
+    # crossed by exactly the doc spanning it
+    for i in range(n_seqs - 1):
+        assert got[(0, i)].n_crossing_out == got[(0, i + 1)].n_crossing_in
+    # segment counts conserve doc-sequence incidences
+    incidences = sum(r.seqs_spanned for r in order)
+    assert sum(r.n_segments for r in got.values()) == incidences
