@@ -242,6 +242,54 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         batch = d.filter(F.col("doc_id") < 1000)
         return dd.incremental_neardup(corpus, batch).count()
 
+    def html_extract():
+        # wrap every page in the HTML shell so the strip chain runs on
+        # real markup (bare text would measure a near-passthrough)
+        wrapped = d.select(
+            "doc_id",
+            F.concat(
+                F.lit('<html><body><nav><a href="/a">Home</a></nav><p>'),
+                F.col("text"),
+                F.lit(" &amp; tail</p></body></html>"),
+            ).alias("html"),
+        )
+        return tx.html_extract_stats(wrapped).count()
+
+    def url_variants():
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://www.s"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#f"),
+            ).alias("text"),
+        )
+        return tx.url_variant_stats(planted).count()
+
+    def nfc_groups():
+        return tx.unicode_nfc_groups(d).count()
+
+    def image_ahash():
+        from mariadb_to_graylog_spark.operators.multimodal import (
+            attach_gradient_images,
+            image_ahash_groups,
+        )
+
+        media = attach_gradient_images(d)
+        return image_ahash_groups(media).count()
+
+    def audio_fp():
+        from mariadb_to_graylog_spark.operators.multimodal import (
+            attach_tone_clips,
+            audio_fingerprint_groups,
+        )
+
+        media = attach_tone_clips(d)
+        return audio_fingerprint_groups(media).count()
+
     for name, fn in [
         ("substring_pairs", substring_pairs),
         ("shared_run_extents", run_extents),
@@ -262,6 +310,11 @@ def run_pages_level(spark, n_docs: int, cap: int = 64) -> dict:
         ("dsir_weights", dsir),
         ("paragraph_lang_mix", para_lang),
         ("incremental_neardup", inc_neardup),
+        ("html_extract", html_extract),
+        ("url_variants", url_variants),
+        ("nfc_dedup", nfc_groups),
+        ("image_ahash_groups", image_ahash),
+        ("audio_fp_groups", audio_fp),
     ]:
         fn()  # full-plan warmup
         sec, n = timed(fn)
