@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "audio_fp_groups",
     "nfc_dedup",
     "pack_segments",
+    "web_ingest_pipeline",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

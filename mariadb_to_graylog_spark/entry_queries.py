@@ -4200,6 +4200,141 @@ FROM seg GROUP BY 1, 2
 """
 
 
+def q_web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAW-CRAWL front half the curation pipelines assume already
+    happened, composed end-to-end: HTML text extraction -> link-farm
+    boilerplate gate (link_density_ppm > 20000) -> exact dedup on the
+    EXTRACTED text (every 9th page re-ingested under a new id -- the
+    same article behind two URLs) -> language ID + quality gate on the
+    extracted text -> per-(lang, decision) accounting.  Decision
+    priority: boilerplate > duplicate > low_quality > kept; lanes
+    PARTITION the ingest exactly (the oracle checks the whole chain,
+    the pytest checks conservation)."""
+    d = _documents(spark, sf_dir)
+    ingest = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 950000).alias("doc_id"), "text"
+        )
+    )
+    html = ingest.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/a">Home</a> <a href="/b">About</a></nav><p>'),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.repeat(F.lit('<a href="/x">x</a> '), 30),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    ex = tx.html_extract_stats(html)
+    scored = ex.select(
+        "doc_id",
+        "text",
+        "link_density_ppm",
+        F.md5("text").alias("_k"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("_q"),
+    )
+    lang = tx.lang_scores(scored).select(
+        "doc_id", "link_density_ppm", "_k", "n_tokens", "_q", "pred_lang"
+    )
+    w = Window.partitionBy("_k")
+    keepers = lang.filter(F.col("link_density_ppm") <= 20000).withColumn(
+        "_min_id", F.min("doc_id").over(w)
+    )
+    lanes = lang.join(keepers.select("doc_id", "_min_id"), "doc_id", "left").select(
+        "pred_lang",
+        "n_tokens",
+        F.when(F.col("link_density_ppm") > 20000, F.lit("boilerplate"))
+        .when(F.col("doc_id") != F.col("_min_id"), F.lit("duplicate"))
+        .when(F.col("_q") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("decision"),
+    )
+    return lanes.groupBy("pred_lang", "decision").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_SQL_INGEST_STRIP = r"""regexp_replace(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g')"""
+
+ORACLE_WEB_INGEST_PIPELINE = f"""
+WITH ingest AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 950000, text FROM documents WHERE doc_id % 9 = 0
+),
+d AS (
+  SELECT doc_id,
+         '<html><body><nav><a href="/a">Home</a> <a href="/b">About</a></nav><p>' ||
+         text || '</p>' ||
+         CASE WHEN doc_id % 4 = 0 THEN repeat('<a href="/x">x</a> ', 30)
+              ELSE '' END ||
+         '</body></html>' AS html
+  FROM ingest
+),
+ex AS (
+  SELECT doc_id, html, {_SQL_INGEST_STRIP} AS text
+  FROM d
+),
+m AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(html, '(?i)(<a)\\b', 1)) * 1000000
+           // greatest(length(text), 1) AS ldp,
+         md5(text) AS k,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS BIGINT)
+           AS n_tok,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS BIGINT) AS en_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["de"]}', 1)) AS BIGINT) AS de_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["fr"]}', 1)) AS BIGINT) AS fr_score,
+         CAST(len(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS DOUBLE) AS n_tok_d,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS DOUBLE) AS n_punct
+  FROM ex
+),
+q AS (
+  SELECT *,
+         CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+              WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS pred_lang,
+         round(least(n_tok_d / 100.0, 1.0) * 0.5
+           + (n_stop / greatest(n_tok_d, 1.0)) * 0.3
+           + (1.0 - least(n_punct / greatest(n_tok_d, 1.0), 1.0)) * 0.2, 6) AS qual
+  FROM m
+),
+mins AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS min_id
+  FROM q WHERE ldp <= 20000
+),
+lanes AS (
+  SELECT q.pred_lang, q.n_tok,
+         CASE WHEN q.ldp > 20000 THEN 'boilerplate'
+              WHEN q.doc_id != mins.min_id THEN 'duplicate'
+              WHEN q.qual < 0.5 THEN 'low_quality'
+              ELSE 'kept' END AS decision
+  FROM q LEFT JOIN mins ON mins.doc_id = q.doc_id
+)
+SELECT pred_lang, decision,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM lanes GROUP BY 1, 2
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-crawl ingestion gate: a NEW batch (every 7th base doc +
     the planted exact copies) is checked against the EXISTING corpus
@@ -5830,6 +5965,7 @@ TRAINING_QUERIES = {
     "contamination_report": q_contamination_report,
     "nfc_dedup": q_nfc_dedup,
     "pack_segments": q_pack_segments,
+    "web_ingest_pipeline": q_web_ingest_pipeline,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -5925,6 +6061,7 @@ TRAINING_ORACLES = {
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "nfc_dedup": ORACLE_NFC_DEDUP,
     "pack_segments": ORACLE_PACK_SEGMENTS,
+    "web_ingest_pipeline": ORACLE_WEB_INGEST_PIPELINE,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -5963,6 +6100,7 @@ _DRIVER_PRIORITY = [
     "contamination_report",
     "nfc_dedup",
     "pack_segments",
+    "web_ingest_pipeline",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

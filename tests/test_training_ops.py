@@ -3836,3 +3836,50 @@ def test_pack_segment_stats_full_sequences_and_crossings(spark):
     # segment counts conserve doc-sequence incidences
     incidences = sum(r.seqs_spanned for r in order)
     assert sum(r.n_segments for r in got.values()) == incidences
+
+
+def test_web_ingest_pipeline_lane_conservation(spark):
+    """The decision lanes must PARTITION the ingest exactly and route
+    the planted cases correctly (re-ingested page -> duplicate; link
+    farm -> boilerplate regardless of its content)."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    rows = eq.ALL_QUERIES["web_ingest_pipeline"](spark, sf).collect()
+    total = sum(r.n_docs for r in rows)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = d.count()
+    n_reingest = d.filter(F.col("doc_id") % 9 == 0).count()
+    assert total == n_docs + n_reingest  # lanes partition the ingest
+    lanes = {}
+    for r in rows:
+        lanes[r.decision] = lanes.get(r.decision, 0) + r.n_docs
+    # exact duplicate count: every re-ingested page whose (identical)
+    # pair passes the link-density gate -- farm pages AND short pages
+    # whose 2 nav links alone exceed the ppm gate go boilerplate instead
+    from mariadb_to_graylog_spark.operators.textstats import html_extract_stats
+
+    ingest = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 950000).alias("doc_id"), "text"
+        )
+    )
+    html = ingest.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/a">Home</a> <a href="/b">About</a></nav><p>'),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.repeat(F.lit('<a href="/x">x</a> '), 30)
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    exp_dup = (
+        html_extract_stats(html)
+        .filter((F.col("doc_id") >= 950000) & (F.col("link_density_ppm") <= 20000))
+        .count()
+    )
+    assert lanes.get("duplicate", 0) == exp_dup
+    assert lanes.get("boilerplate", 0) > 0 and lanes.get("kept", 0) > 0
