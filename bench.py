@@ -171,6 +171,7 @@ QUERY_NAMES = [
     "nfc_dedup",
     "pack_segments",
     "web_ingest_pipeline",
+    "json_props",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -4735,6 +4735,55 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field extraction -- the telemetry-pipeline stage
+    the reference's fixed regexes never needed: pull the numeric ``k``
+    out of each event's JSON ``props`` (every 11th event corrupted to
+    non-JSON, which must surface as a counted NULL, not a crash), roll
+    up per event type.  Map-side `get_json_object` (codegen JSON path,
+    no UDF), one small aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    corrupted = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit("not json")).otherwise(
+            F.col("props")
+        ).alias("props"),
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    per = corrupted.select("event_type", k.alias("k"))
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("k").isNull()).cast("long")).cast("long").alias("n_bad_props"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN event_id % 11 = 0 THEN 'not json' ELSE props END AS props
+  FROM events
+),
+k AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM c
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM k GROUP BY 1
+"""
+
+
 def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: every 13th document plays a lightly-EDITED
     leaked eval item (' q' appended -- enough to defeat any exact 13-gram
@@ -5966,6 +6015,7 @@ TRAINING_QUERIES = {
     "nfc_dedup": q_nfc_dedup,
     "pack_segments": q_pack_segments,
     "web_ingest_pipeline": q_web_ingest_pipeline,
+    "json_props": q_json_props,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6062,6 +6112,7 @@ TRAINING_ORACLES = {
     "nfc_dedup": ORACLE_NFC_DEDUP,
     "pack_segments": ORACLE_PACK_SEGMENTS,
     "web_ingest_pipeline": ORACLE_WEB_INGEST_PIPELINE,
+    "json_props": ORACLE_JSON_PROPS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6101,6 +6152,7 @@ _DRIVER_PRIORITY = [
     "nfc_dedup",
     "pack_segments",
     "web_ingest_pipeline",
+    "json_props",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

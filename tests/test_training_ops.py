@@ -3883,3 +3883,21 @@ def test_web_ingest_pipeline_lane_conservation(spark):
     )
     assert lanes.get("duplicate", 0) == exp_dup
     assert lanes.get("boilerplate", 0) > 0 and lanes.get("kept", 0) > 0
+
+
+def test_json_props_extraction_and_corruption_counting(spark):
+    """get_json_object pulls k from valid JSON; corrupt and k-less
+    payloads surface as counted NULLs, never crashes."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+
+    rows = eq.ALL_QUERIES["json_props"](spark, "/root/testdata/sf0.001").collect()
+    got = {r.event_type: r for r in rows}
+    assert got  # at least one type
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_total = ev.count()
+    assert sum(r.n_events for r in rows) == n_total
+    n_corrupt = ev.filter(F.col("event_id") % 11 == 0).count()
+    assert sum(r.n_bad_props for r in rows) == n_corrupt  # only the plant is bad
+    for r in rows:
+        if r.k_min is not None:
+            assert r.k_min <= r.k_max
