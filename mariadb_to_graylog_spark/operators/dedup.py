@@ -2237,6 +2237,7 @@ def incremental_neardup(
     n: int = 3,
     threshold: float = 0.5,
     round_digits: int = 6,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-crawl NEAR-dup ingestion gate: check a new ``batch`` against
     the existing ``corpus`` for MinHash-LSH near-duplicates WITHOUT
@@ -2265,8 +2266,18 @@ def incremental_neardup(
     (``lsh_banding_planner`` is the sizing table); the exact-md5 lane
     (``q_incremental_dedup``) remains the backstop for verbatim
     re-crawls.
+
+    ``corpus_buckets`` passes a PRE-BUILT index (``build_neardup_index``,
+    persisted or table-backed) so repeat callers -- a micro-batch stream
+    gating every trigger, a daily cron -- pay the corpus signature pass
+    once, not per call.  It must come from the same (shingle_n, bands,
+    rows_per_band); the verify step still reads corpus text by id.
     """
-    cb = lsh_buckets(corpus, id_col, text_col, shingle_n, bands, rows_per_band)
+    cb = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else lsh_buckets(corpus, id_col, text_col, shingle_n, bands, rows_per_band)
+    )
     bb = lsh_buckets(batch, id_col, text_col, shingle_n, bands, rows_per_band)
     cand = (
         bb.withColumnRenamed("id", "_bid")
@@ -2310,3 +2321,19 @@ def incremental_neardup(
             (-F.col("_best.negj")).alias("jaccard"),
         )
     )
+
+
+def build_neardup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """The corpus MinHash bucket INDEX for ``incremental_neardup`` --
+    (id, band, sig-struct) rows, ``bands`` per corpus doc.  Build once,
+    persist (or write as a table at 10^12 scale), and pass to every
+    gate call as ``corpus_buckets``: the signature pass over the corpus
+    is the dominant cost of a single gate call and is batch-invariant."""
+    return lsh_buckets(corpus, id_col, text_col, shingle_n, bands, rows_per_band)
