@@ -172,6 +172,7 @@ QUERY_NAMES = [
     "pack_segments",
     "web_ingest_pipeline",
     "json_props",
+    "tfidf_keywords",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -4784,6 +4784,47 @@ FROM k GROUP BY 1
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document: integer micro-nat idf, exact
+    tf x idf products, token tie-break -- the content-descriptor table
+    (topic tags, index terms) every text corpus wants."""
+    d = _documents(spark, sf_dir)
+    return tx.tfidf_keywords(d, k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+        "token",
+        "tf",
+        "score_micro",
+    )
+
+
+ORACLE_TFIDF_KEYWORDS = """
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+nd AS (SELECT greatest(count(DISTINCT doc_id), 1) AS n FROM documents),
+idf AS (
+  SELECT tok,
+         CAST(round((ln((SELECT n FROM nd)) - ln(count(*))) * 1000000) AS BIGINT)
+           AS idf_micro
+  FROM tf GROUP BY tok
+),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf_micro DESC, tf.tok) AS rk
+  FROM tf JOIN idf USING (tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rank,
+       tok AS token, tf, score_micro
+FROM s WHERE rk <= 3
+"""
+
+
 def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: every 13th document plays a lightly-EDITED
     leaked eval item (' q' appended -- enough to defeat any exact 13-gram
@@ -6016,6 +6057,7 @@ TRAINING_QUERIES = {
     "pack_segments": q_pack_segments,
     "web_ingest_pipeline": q_web_ingest_pipeline,
     "json_props": q_json_props,
+    "tfidf_keywords": q_tfidf_keywords,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6113,6 +6155,7 @@ TRAINING_ORACLES = {
     "pack_segments": ORACLE_PACK_SEGMENTS,
     "web_ingest_pipeline": ORACLE_WEB_INGEST_PIPELINE,
     "json_props": ORACLE_JSON_PROPS,
+    "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6153,6 +6196,7 @@ _DRIVER_PRIORITY = [
     "pack_segments",
     "web_ingest_pipeline",
     "json_props",
+    "tfidf_keywords",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -1284,3 +1284,54 @@ def unicode_nfc_groups(
         F.count_distinct("_raw_md5").cast("long").alias("n_byte_forms"),
         F.min("id").alias("min_id"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document -- the classic content
+    descriptor (topic tagging, index terms, near-dup EXPLANATION: which
+    terms make two docs similar).  Returns (doc_id, rank, token, tf,
+    score_micro) with rank 1..k.
+
+    fp determinism (repo rule): idf = ln(N / df) is quantized to integer
+    MICRO-nats once per term, score = tf * idf_micro is an exact integer
+    product, ranking ties break on token text -- the same ordering in
+    both engines, no float comparison anywhere.
+
+    Shape at scale: one token-occurrence shuffle into (doc, token, tf);
+    document frequency aggregates over the DISTINCT (doc, token) pairs
+    already in hand; the df table is vocabulary-sized so it JOINS on the
+    token key (a vocabulary does not broadcast at web scale -- this is a
+    plain shuffle join by design, stated); the per-doc top-k window is
+    bounded by each doc's distinct-term count.  N is one driver-side
+    scalar (the centroid idiom).  Tokenless docs yield no rows."""
+    from pyspark.sql.window import Window
+
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n_docs = max(df.select(id_col).distinct().count(), 1)
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    idf = dfreq.select(
+        "tok",
+        F.round((F.log(F.lit(float(n_docs))) - F.log(F.col("_df").cast("double"))) * 1e6)
+        .cast("long")
+        .alias("_idf_micro"),
+    )
+    scored = tf.join(idf, "tok").withColumn(
+        "score_micro", (F.col("tf") * F.col("_idf_micro")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", F.col("tok").alias("token"), "tf", "score_micro")
+    )

@@ -3901,3 +3901,32 @@ def test_json_props_extraction_and_corruption_counting(spark):
     for r in rows:
         if r.k_min is not None:
             assert r.k_min <= r.k_max
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3-doc corpus: a term unique to one doc must outrank corpus-wide
+    terms; scores recompute exactly in integer micro-nats; ubiquitous
+    terms (df == N) carry idf 0 and cannot outrank anything positive."""
+    import math
+
+    from mariadb_to_graylog_spark.operators.textstats import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.token, r.tf, r.score_micro)
+        for r in tfidf_keywords(df, k=3).collect()
+    }
+    idf = lambda dfreq: round(math.log(3 / dfreq) * 1e6)  # noqa: E731
+    # doc 1: apple tf=2 df=1 -> top; banana tf=1 df=2; common idf=0
+    assert got[(1, 1)] == ("apple", 2, 2 * idf(1))
+    assert got[(1, 2)] == ("banana", 1, idf(2))
+    assert got[(1, 3)] == ("common", 2, 0)
+    # doc 3: cherry tf=2 df=2 top; ties on score fall back to token text
+    assert got[(3, 1)] == ("cherry", 2, 2 * idf(2))
