@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "web_ingest_pipeline",
     "json_props",
     "tfidf_keywords",
+    "timeseries_gapfill",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

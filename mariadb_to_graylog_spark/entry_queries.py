@@ -4825,6 +4825,54 @@ FROM s WHERE rk <= 3
 """
 
 
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with ZERO-FILLED gaps + trailing 3-hour
+    integer sum -- the dashboard/alerting primitive (a silent hour is a
+    row, not an absence); grid generated by sequence explode, windows
+    ride the user partitioning."""
+    from mariadb_to_graylog_spark.operators.sessions import (
+        hourly_gapfilled_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_gapfilled_counts(ev).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "hour_bucket",
+        "n_events",
+        "trailing_sum",
+    )
+
+
+ORACLE_TIMESERIES_GAPFILL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hb
+  FROM events
+),
+counts AS (
+  SELECT user_id, hb, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS hour_bucket FROM span
+),
+filled AS (
+  SELECT g.user_id, g.hour_bucket,
+         CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+  FROM grid g LEFT JOIN counts c
+    ON c.user_id = g.user_id AND c.hb = g.hour_bucket
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       n_events,
+       CAST(SUM(n_events) OVER (
+         PARTITION BY user_id ORDER BY hour_bucket
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_sum
+FROM filled
+"""
+
+
 def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: every 13th document plays a lightly-EDITED
     leaked eval item (' q' appended -- enough to defeat any exact 13-gram
@@ -6058,6 +6106,7 @@ TRAINING_QUERIES = {
     "web_ingest_pipeline": q_web_ingest_pipeline,
     "json_props": q_json_props,
     "tfidf_keywords": q_tfidf_keywords,
+    "timeseries_gapfill": q_timeseries_gapfill,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6156,6 +6205,7 @@ TRAINING_ORACLES = {
     "web_ingest_pipeline": ORACLE_WEB_INGEST_PIPELINE,
     "json_props": ORACLE_JSON_PROPS,
     "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
+    "timeseries_gapfill": ORACLE_TIMESERIES_GAPFILL,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6197,6 +6247,7 @@ _DRIVER_PRIORITY = [
     "web_ingest_pipeline",
     "json_props",
     "tfidf_keywords",
+    "timeseries_gapfill",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -135,3 +135,55 @@ def event_transitions(
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def hourly_gapfilled_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_buckets: int = 3,
+) -> DataFrame:
+    """Time-series RESAMPLING with gap-fill -- the telemetry dashboard
+    primitive the row-stream ops can't express: per user, one row per
+    HOUR bucket from that user's first to last event, zero-filled where
+    no event landed (a silent hour IS the signal an alerting rule
+    reads), plus a trailing ``window_buckets``-bucket event SUM (the
+    moving aggregate kept as an exact integer -- a float moving average
+    would be fp-order-unstable across engines).
+
+    (user_id, hour_bucket, n_events, trailing_sum)
+
+    Shape at scale: one (user, hour) count aggregate (map-side combined),
+    one per-user min/max aggregate, the gap GRID generated by a
+    ``sequence`` explode (rows = active-span hours per user -- data
+    generated, never collected), one join back on the already-partitioned
+    key, and the trailing window rides the same (user) partitioning.
+    Second-resolution epoch math (``unix_seconds`` == DuckDB ``epoch``)
+    keeps bucket boundaries engine-portable."""
+    from pyspark.sql.window import Window
+
+    ev = df.select(
+        F.col(user_col).alias("user_id"), _epoch_sec(ts_col).alias("_es")
+    ).select("user_id", F.expr("_es div 3600").cast("long").alias("hb"))
+    counts = ev.groupBy("user_id", "hb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("hb").alias("_lo"), F.max("hb").alias("_hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("_lo", "_hi")).alias("hb")
+    )
+    filled = grid.join(counts, ["user_id", "hb"], "left").select(
+        "user_id",
+        F.col("hb").alias("hour_bucket"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_bucket")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    return filled.withColumn(
+        "trailing_sum", F.sum("n_events").over(w).cast("long")
+    )

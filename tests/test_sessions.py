@@ -122,3 +122,35 @@ def test_single_exchange_plan(spark):
     df = _ev(spark, [(u, BASE + i, "click") for u in (1, 2) for i in range(5)])
     plan = session_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hourly_gapfill_zero_rows_and_trailing_sum(spark):
+    """Events at hours 0, 0, 2 for one user: hour 1 must EXIST with
+    n_events=0; trailing 3-bucket sums recompute by hand; a second
+    user's grid is independent."""
+    from datetime import datetime, timezone
+
+    from mariadb_to_graylog_spark.operators.sessions import (
+        hourly_gapfilled_counts,
+    )
+
+    def ts(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0)), (1, ts(0, 30)), (1, ts(2)),
+            (2, ts(5)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r.user_id, r.hour_bucket): (r.n_events, r.trailing_sum)
+        for r in hourly_gapfilled_counts(df).collect()
+    }
+    base = 473352  # 2024-01-01T00 epoch-hours
+    assert got[(1, base + 0)] == (2, 2)
+    assert got[(1, base + 1)] == (0, 2)  # the gap row exists, zero-filled
+    assert got[(1, base + 2)] == (1, 3)  # trailing 3h = 2 + 0 + 1
+    assert got[(2, base + 5)] == (1, 1)
+    assert len([k for k in got if k[0] == 1]) == 3  # exactly hours 0..2
