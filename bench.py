@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "json_props",
     "tfidf_keywords",
     "timeseries_gapfill",
+    "char_entropy",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

@@ -4873,6 +4873,43 @@ FROM filled
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model-free gibberish signal: per-doc character Shannon
+    entropy in exact integer micro-nat arithmetic -- mojibake/base64
+    noise runs hot, banner spam runs cold, no LM or frequency table
+    needed."""
+    d = _documents(spark, sf_dir)
+    return tx.char_entropy(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars", "entropy"
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH occ AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ''), c -> length(c) > 0)) AS ch
+  FROM documents
+),
+c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1, 2),
+p AS (
+  SELECT doc_id, cnt,
+         cnt * CAST(round((ln(SUM(cnt) OVER (PARTITION BY doc_id))
+                           - ln(cnt)) * 1000000) AS BIGINT) AS term,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS n
+  FROM c
+),
+agg AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars, SUM(term) AS sum_micro
+  FROM p GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+       CASE WHEN coalesce(agg.n_chars, 0) > 0
+            THEN round(sum_micro::DOUBLE / (agg.n_chars * 1000000.0), 6)
+       END AS entropy
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: every 13th document plays a lightly-EDITED
     leaked eval item (' q' appended -- enough to defeat any exact 13-gram
@@ -6107,6 +6144,7 @@ TRAINING_QUERIES = {
     "json_props": q_json_props,
     "tfidf_keywords": q_tfidf_keywords,
     "timeseries_gapfill": q_timeseries_gapfill,
+    "char_entropy": q_char_entropy,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6206,6 +6244,7 @@ TRAINING_ORACLES = {
     "json_props": ORACLE_JSON_PROPS,
     "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
     "timeseries_gapfill": ORACLE_TIMESERIES_GAPFILL,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6248,6 +6287,7 @@ _DRIVER_PRIORITY = [
     "json_props",
     "tfidf_keywords",
     "timeseries_gapfill",
+    "char_entropy",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

@@ -1335,3 +1335,70 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", F.col("tok").alias("token"), "tf", "score_micro")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) -- the
+    corpus-model-FREE gibberish/encoding-noise signal: mojibake and
+    base64 blobs run hot (high entropy), stuck-key/banner spam runs cold
+    (low), while ``unigram_surprisal`` needs a corpus LM and
+    ``token_rarity`` a frequency table, this needs only the doc itself.
+
+    fp determinism (repo rule): entropy = (1/n) * sum_c cnt_c *
+    ln(n/cnt_c); each per-character term is quantized to an integer
+    micro-nat product (cnt_c * round(ln(n/cnt_c) * 1e6)), summed
+    exactly, divided once -- no float accumulation order anywhere.
+
+    Shape: one (doc, char) exchange (map-side combined), the per-doc
+    total rides a window on the same key, one final per-doc aggregate.
+    Empty/NULL docs report n_chars=0 with NULL entropy."""
+    from pyspark.sql.window import Window
+
+    # filter the split BEFORE the outer explode: split('') yields ['']
+    # whose lone element a post-explode filter would drop, losing the
+    # doc's row entirely -- an empty filtered array explodes to one NULL
+    # row instead, keeping the doc
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.filter(
+                F.split(F.col(text_col), ""), lambda c: F.length(c) > 0
+            )
+        ).alias("ch"),
+    )
+    counts = occ.groupBy("doc_id", "ch").agg(
+        F.count("ch").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id")
+    per = counts.withColumn("n", F.sum("cnt").over(w)).withColumn(
+        "_term",
+        F.when(
+            F.col("ch").isNotNull(),
+            F.col("cnt")
+            * F.round(
+                (
+                    F.log(F.col("n").cast("double"))
+                    - F.log(F.col("cnt").cast("double"))
+                )
+                * 1e6
+            ).cast("long"),
+        ),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ch").isNotNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_chars"),
+        F.sum("_term").alias("_sum_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("_sum_micro") / (F.col("n_chars") * F.lit(1e6)), 6),
+        ).alias("entropy"),
+    )

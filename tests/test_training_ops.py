@@ -3930,3 +3930,27 @@ def test_tfidf_keywords_hand_computed(spark):
     assert got[(1, 3)] == ("common", 2, 0)
     # doc 3: cherry tf=2 df=2 top; ties on score fall back to token text
     assert got[(3, 1)] == ("cherry", 2, 2 * idf(2))
+
+
+def test_char_entropy_hand_values_and_edges(spark):
+    """'aaaa' -> 0 nats; 'abcd' -> ln(4); 16 distinct chars -> ln(16);
+    empty doc -> n_chars=0, NULL entropy -- all in the exact micro-nat
+    arithmetic."""
+    import math
+
+    from mariadb_to_graylog_spark.operators.textstats import char_entropy
+
+    sixteen = "abcdefghijklmnop"
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, sixteen), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert (got[1].n_chars, got[1].entropy) == (4, 0.0)
+    exp2 = round(4 * round(math.log(4) * 1e6) / (4 * 1e6), 6)
+    assert (got[2].n_chars, got[2].entropy) == (4, exp2)
+    exp3 = round(16 * round(math.log(16) * 1e6) / (16 * 1e6), 6)
+    assert (got[3].n_chars, got[3].entropy) == (16, exp3)
+    assert got[4].n_chars == 0 and got[4].entropy is None
+    # the signal's point: gibberish outranks banner spam
+    assert got[3].entropy > got[1].entropy
