@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "tfidf_keywords",
     "timeseries_gapfill",
     "char_entropy",
+    "lang_confusion",
     "dsir_weights",
     "paragraph_lang_mix",
     "bpe_merges",

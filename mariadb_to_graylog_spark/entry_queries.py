@@ -4910,6 +4910,50 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-classifier confusion matrix: the corpus's METADATA lang
+    column against the stopword classifier's prediction, with integer-ppm
+    row shares -- the table that decides whether to trust upstream labels
+    or re-classify (and where the classifier's en-bias lands zh docs,
+    which have no Latin stopwords at all)."""
+    d = _documents(spark, sf_dir)
+    pred = tx.lang_scores(d).select("lang", "pred_lang")
+    counts = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("n_docs * 1000000L div (sum(n_docs) OVER (PARTITION BY lang))")
+        .cast("long")
+        .alias("row_share_ppm"),
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH s AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}', 1)) AS BIGINT) AS en_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["de"]}', 1)) AS BIGINT) AS de_score,
+         CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["fr"]}', 1)) AS BIGINT) AS fr_score
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en'
+              WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS pred_lang
+  FROM s
+),
+c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n_docs,
+       CAST(n_docs * 1000000 // (SUM(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+         AS row_share_ppm
+FROM c
+"""
+
+
 def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination: every 13th document plays a lightly-EDITED
     leaked eval item (' q' appended -- enough to defeat any exact 13-gram
@@ -6145,6 +6189,7 @@ TRAINING_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "timeseries_gapfill": q_timeseries_gapfill,
     "char_entropy": q_char_entropy,
+    "lang_confusion": q_lang_confusion,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6245,6 +6290,7 @@ TRAINING_ORACLES = {
     "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
     "timeseries_gapfill": ORACLE_TIMESERIES_GAPFILL,
     "char_entropy": ORACLE_CHAR_ENTROPY,
+    "lang_confusion": ORACLE_LANG_CONFUSION,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6288,6 +6334,7 @@ _DRIVER_PRIORITY = [
     "tfidf_keywords",
     "timeseries_gapfill",
     "char_entropy",
+    "lang_confusion",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

