@@ -4910,6 +4910,56 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def q_dup_cluster_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: per verified near-dup cluster, the
+    source spread (n_sources > 1 = cross-source syndication; 1 = a
+    source re-publishing itself) and the id range -- the provenance
+    table a source-weighting or takedown decision reads after
+    ``dedup_groups`` labels the corpus.  Same verified-pair components
+    as the groups query (shared oracle CTE block), joined back to the
+    source dim, singleton groups excluded."""
+    d = docs_with_near_dups(spark, sf_dir)
+    pairs = dd.lsh_jaccard_verified(
+        d, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
+    groups = dd.near_dedup_groups(d, pairs)
+    j = groups.join(d.select("doc_id", "source"), "doc_id")
+    agg = j.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    return agg.filter(F.col("n_docs") >= 2).select(
+        F.col("group_id").cast("long").alias("group_id"),
+        "n_docs",
+        "n_sources",
+        "sources",
+        "min_doc",
+        "max_doc",
+    )
+
+
+ORACLE_DUP_CLUSTER_PROVENANCE = (
+    _DEDUP_GROUPS_CTES
+    + f""",
+dims AS ({_SQL_NEAR_DUPS}),
+j AS (
+  SELECT comp.doc_id, comp.group_id, dims.source
+  FROM comp JOIN dims ON dims.doc_id = comp.doc_id
+)
+SELECT CAST(group_id AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM j GROUP BY 1 HAVING count(*) >= 2
+"""
+)
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-vs-classifier confusion matrix: the corpus's METADATA lang
     column against the stopword classifier's prediction, with integer-ppm
@@ -6190,6 +6240,7 @@ TRAINING_QUERIES = {
     "timeseries_gapfill": q_timeseries_gapfill,
     "char_entropy": q_char_entropy,
     "lang_confusion": q_lang_confusion,
+    "dup_cluster_provenance": q_dup_cluster_provenance,
     "bpe_merges": q_bpe_merges,
     "bigram_novelty": q_bigram_novelty,
     "lsh_planner": q_lsh_planner,
@@ -6291,6 +6342,7 @@ TRAINING_ORACLES = {
     "timeseries_gapfill": ORACLE_TIMESERIES_GAPFILL,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "lang_confusion": ORACLE_LANG_CONFUSION,
+    "dup_cluster_provenance": ORACLE_DUP_CLUSTER_PROVENANCE,
     "bpe_merges": ORACLE_BPE_MERGES,
     "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     "lsh_planner": ORACLE_LSH_PLANNER,
@@ -6335,6 +6387,7 @@ _DRIVER_PRIORITY = [
     "timeseries_gapfill",
     "char_entropy",
     "lang_confusion",
+    "dup_cluster_provenance",
     "fuzzy_decontam",
     "bpe_merges",
     "vocab_coverage",

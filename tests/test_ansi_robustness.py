@@ -142,7 +142,8 @@ def test_pipeline_ansi_on(ansi_on, transcripts):
      "image_ahash_groups", "html_extract", "audio_fp_groups",
      "contamination_report", "nfc_dedup", "pack_segments",
      "web_ingest_pipeline", "json_props", "tfidf_keywords",
-     "timeseries_gapfill", "char_entropy", "lang_confusion"],
+     "timeseries_gapfill", "char_entropy", "lang_confusion",
+     "dup_cluster_provenance"],
 )
 def test_training_queries_ansi_parity(spark, qname):
     """Training operators (the parametrize list above tracks every round's

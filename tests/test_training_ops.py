@@ -3973,3 +3973,48 @@ def test_lang_confusion_shares_and_diagonal(spark):
     zh = {r.pred_lang: r.n_docs for r in per_label.get("zh", [])}
     if zh:
         assert "zh" not in zh  # the classifier has no zh class at all
+
+
+def test_dup_cluster_provenance_source_spread(spark):
+    """Two corpus pages copied across sources + one self-republishing
+    source: the provenance table reports the exact source sets; the
+    singleton page produces no row."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        lsh_jaccard_verified,
+        near_dedup_groups,
+    )
+
+    page = (
+        "a long enough page about rivers and valleys that minhash "
+        "signatures stabilize across its shingle set for the test"
+    )
+    other = (
+        "a different article describing mountain passes and the weather "
+        "patterns that close them in early winter every single year"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, page, "srcA"),
+            (2, page + " xyz", "srcB"),     # cross-source near-copy
+            (3, other, "srcC"),
+            (4, other + " xyz", "srcC"),    # self-republication
+            (5, "a singleton page about nothing in particular today", "srcD"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = lsh_jaccard_verified(
+        df, shingle_n=4, bands=4, rows_per_band=8, n=3, threshold=0.5
+    )
+    groups = near_dedup_groups(df, pairs)
+    j = groups.join(df.select("doc_id", "source"), "doc_id")
+    agg = (
+        j.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    got = {r.group_id: (r.n_sources, r.sources) for r in agg.collect()}
+    assert got == {1: (2, "srcA,srcB"), 3: (1, "srcC")}
