@@ -1828,6 +1828,187 @@ def simhash_pairs(
     )
 
 
+def _round6_spark(raw: float) -> float:
+    """Replicate Spark's ``round(double, 6)`` exactly: Scala
+    ``BigDecimal(d)`` goes through ``Double.toString`` (shortest decimal
+    repr), then HALF_UP at scale 6 -- Python ``repr(float)`` is the same
+    shortest repr, so Decimal(repr(x)) quantized HALF_UP is bit-identical."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(raw)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _winnow_overlap_native(
+    sk: DataFrame,
+    min_overlap: float,
+    max_hash_df: int | None,
+) -> DataFrame:
+    """Native-counting twin of the winnow pair join (optimization guide
+    §4.2/§8: decide with small rows in vectorized native code, never
+    materialize the quadratic pair stream through a shuffle).
+
+    The exact operator is intrinsically Omega(sum_h df(h)^2) co-occurrence
+    work -- at sf1.0 that is 11.7e9 joined rows for 33k output pairs, and
+    the SMJ+partial-agg pipeline paid ~321 s for it.  Here the *postings*
+    (doc index, hash) -- a few dozen bytes per doc, never text -- are
+    collected once, compiled into a CSR inverted index, broadcast, and
+    each task counts shared hashes for an interleaved block of docs with
+    ``np.bincount`` over bucket tails (only partners with larger doc
+    index, so every unordered pair is counted exactly once).  Identical
+    integers and identical ``round(x, 6)`` doubles to the join path
+    (see :func:`_round6_spark`); the caller guards corpus size and falls
+    back to the distributed bucket join beyond it.
+    """
+    import numpy as np
+
+    spark = sk.sparkSession
+    id_type = sk.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, shared bigint, overlap double"
+
+    rows = sk.select("id", "sketch").toPandas()
+    n = len(rows)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+
+    raw_ids = rows["id"].tolist()
+    sketches = rows["sketch"].tolist()
+    # sort by id ascending under Spark's ordering (UTF8 = byte order for
+    # strings) so that partner index j > i  <=>  id_a < id_b
+    if isinstance(raw_ids[0], str):
+        order = sorted(range(n), key=lambda i: raw_ids[i].encode("utf-8"))
+    else:
+        order = sorted(range(n), key=lambda i: raw_ids[i])
+    ids_np = np.array([raw_ids[i] for i in order])
+    sketches = [np.asarray(sketches[i], dtype=np.int64) for i in order]
+    sz = np.fromiter((s.size for s in sketches), dtype=np.int64, count=n)
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int32), sz)
+    hvals = (
+        np.concatenate(sketches) if doc_idx.size else np.empty(0, np.int64)
+    )
+    _, hidx = np.unique(hvals, return_inverse=True)
+    hidx = hidx.astype(np.int64)
+    if max_hash_df is not None:
+        dfh = np.bincount(hidx, minlength=hidx.max() + 1 if hidx.size else 0)
+        keep = dfh[hidx] <= max_hash_df
+        doc_kept, hidx = doc_idx[keep], hidx[keep]
+    else:
+        doc_kept = doc_idx
+    total = doc_kept.size
+    nh = int(hidx.max()) + 1 if total else 0
+    counts = np.bincount(hidx, minlength=nh)
+    boff = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    # postings are doc-major ascending, so a stable sort by hash keeps doc
+    # index ascending inside each bucket
+    order2 = np.argsort(hidx, kind="stable")
+    bucket_docs = doc_kept[order2]
+    pos = np.empty(total, dtype=np.int64)
+    pos[order2] = np.arange(total, dtype=np.int64) - boff[hidx[order2]]
+    # per posting: the tail of its bucket holding only larger doc indices
+    slice_start = (boff[hidx] + pos + 1).astype(np.int64)
+    slice_end = boff[hidx + 1].astype(np.int64)
+    dcounts = np.bincount(doc_kept, minlength=n)
+    doc_off = np.concatenate([[0], np.cumsum(dcounts)]).astype(np.int64)
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "ids": ids_np,
+            "sz": sz,
+            "bucket_docs": bucket_docs,
+            "slice_start": slice_start,
+            "slice_end": slice_end,
+            "doc_off": doc_off,
+        }
+    )
+    n_blocks = max(spark.sparkContext.defaultParallelism * 4, 1)
+    numeric_ids = ids_np.dtype.kind in "iu"
+    id_np_dtype = ids_np.dtype if numeric_ids else object
+    margin = min_overlap - 1e-6
+
+    def count_blocks(batches):
+        b = bc.value
+        ids_l, sz_l = b["ids"], b["sz"]
+        bdocs, s0, s1, doff = (
+            b["bucket_docs"],
+            b["slice_start"],
+            b["slice_end"],
+            b["doc_off"],
+        )
+
+        def empty():
+            return pd.DataFrame(
+                {
+                    "id_a": np.empty(0, id_np_dtype),
+                    "id_b": np.empty(0, id_np_dtype),
+                    "shared": np.empty(0, np.int64),
+                    "overlap": np.empty(0, np.float64),
+                }
+            )
+
+        for pdfb in batches:
+            out_a, out_b, out_s, out_o = [], [], [], []
+            for blk in pdfb["id"].tolist():
+                for i in range(int(blk), n, n_blocks):
+                    lo, hi = doff[i], doff[i + 1]
+                    if hi == lo:
+                        continue
+                    parts = [
+                        bdocs[a:z]
+                        for a, z in zip(s0[lo:hi], s1[lo:hi])
+                        if z > a
+                    ]
+                    if not parts:
+                        continue
+                    cat = np.concatenate(parts)
+                    cnt = np.bincount(cat)
+                    nz = np.flatnonzero(cnt)
+                    if nz.size == 0:
+                        continue
+                    c = cnt[nz]
+                    m = np.minimum(sz_l[nz], sz_l[i])
+                    raw = c / m
+                    sel = np.flatnonzero(raw >= margin)
+                    if sel.size == 0:
+                        continue
+                    ov = np.fromiter(
+                        (_round6_spark(v) for v in raw[sel]),
+                        dtype=np.float64,
+                        count=sel.size,
+                    )
+                    ok = ov >= min_overlap
+                    if numeric_ids:
+                        ok &= ids_l[nz[sel]] != ids_l[i]
+                    else:
+                        ok &= np.array(
+                            [x != ids_l[i] for x in ids_l[nz[sel]]], bool
+                        )
+                    sel = sel[ok]
+                    if sel.size == 0:
+                        continue
+                    out_a.append(np.full(sel.size, ids_l[i], id_np_dtype))
+                    out_b.append(ids_l[nz[sel]])
+                    out_s.append(c[sel].astype(np.int64))
+                    out_o.append(ov[ok])
+            if not out_a:
+                yield empty()
+            else:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "shared": np.concatenate(out_s),
+                        "overlap": np.concatenate(out_o),
+                    }
+                )
+
+    blocks = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    return blocks.mapInPandas(count_blocks, out_schema)
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1837,6 +2018,7 @@ def winnow_overlap_pairs(
     min_overlap: float = 0.5,
     max_hash_df: int | None = None,
     use_pandas: bool = True,
+    native_max_docs: int = 600_000,
 ) -> DataFrame:
     """Containment/overlap candidate pairs from winnowing sketches
     (textstats.winnow_fingerprint): explode each document's selected
@@ -1863,6 +2045,19 @@ def winnow_overlap_pairs(
     of boilerplate; the denominator stays the full sketch size, so the
     score never inflates.  Empty-after-normalization docs carry no
     content to overlap and are excluded.
+
+    Execution strategy (r7 optimization): the exact score needs the full
+    co-occurrence count, which is Omega(sum_h df(h)^2) regardless of plan
+    shape -- boilerplate windows make that quadratic term brutal (sf1.0:
+    11.7e9 joined rows for 33k output pairs; the join+agg paid 321 s in
+    the round-6 driver bench).  Corpora up to ``native_max_docs`` docs
+    therefore run :func:`_winnow_overlap_native`: one sketch pass, then
+    the (doc, hash) postings -- a lightweight proxy, never text (guide
+    §8) -- are broadcast as a CSR inverted index and every task bincounts
+    an interleaved doc block in numpy (guide §4.2).  Identical rows,
+    integers and rounded doubles (oracle-checked).  Larger corpora keep
+    the distributed hash-bucket join below, whose exchange carries only
+    (id, sz, h).
     """
     from mariadb_to_graylog_spark.operators.textstats import (
         normalize_text,
@@ -1880,6 +2075,8 @@ def winnow_overlap_pairs(
         F.col(id_col).alias("id"),
         sketch.alias("sketch"),
     ).filter(F.length(normalize_text(F.col(text_col))) > 0)
+    if native_max_docs and df.count() <= native_max_docs:
+        return _winnow_overlap_native(sk, min_overlap, max_hash_df)
     ex = sk.select(
         "id", F.size("sketch").alias("sz"), F.explode("sketch").alias("h")
     )
