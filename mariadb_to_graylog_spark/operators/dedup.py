@@ -1192,6 +1192,116 @@ def minhash_jaccard_estimate(
     )
 
 
+def _char_ngram_codes_py(text: str | None, n: int = 3):
+    """Distinct char n-grams of ``text`` encoded bijectively into int64:
+    each gram's codepoints packed 21 bits apiece (max codepoint 0x10FFFF
+    < 2^21; missing chars of a short gram encode as 0, and NUL never
+    occurs in text), so |set intersection| and |set union| over the codes
+    EQUAL the same counts over the string grams of ``char_ngrams`` --
+    tested equal.  Returns a SORTED unique int64 array (set semantics;
+    counts are all the verify needs).  Requires 21*n <= 63."""
+    import numpy as np
+
+    s = text or ""
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    ln = codes.size
+    if ln < n:
+        pad = np.zeros(n, dtype=np.int64)
+        pad[:ln] = codes
+        e = 0
+        for j in range(n):
+            e = (e << 21) | int(pad[j])
+        return np.array([e], dtype=np.int64)
+    npos = ln - n + 1
+    e = np.zeros(npos, dtype=np.int64)
+    for j in range(n):
+        e = (e << 21) | codes[j : j + npos]
+    return np.unique(e)
+
+
+def _verified_jaccard_native(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Native verify stage of ``lsh_jaccard_verified`` for bounded corpora
+    (r7 optimization).  The join-based verify moved every candidate
+    pair's two ~250-element STRING gram arrays through two shuffled
+    joins (~2 GB at sf1.0, ~20 s of the 26 s chain) only to reduce them
+    to two counts.  Here one Arrow pass computes each doc's gram set as
+    SORTED int64 codes (:func:`_char_ngram_codes_py`, bijective, so
+    intersection/union counts are identical to the string sets), the
+    (id -> codes) table is broadcast as CSR, and a mapInPandas over the
+    *distributed* candidate pairs computes exact
+    |intersect| / |union| per pair via searchsorted -- identical doubles
+    (same integer counts, same IEEE division), threshold applied to the
+    raw value exactly like the join path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+
+    @pandas_udf("array<long>")
+    def codes_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _char_ngram_codes_py(t, n))
+
+    gp = df.select(
+        F.col(id_col).alias("id"), codes_udf(F.col(text_col)).alias("g")
+    ).toPandas()
+    ids = gp["id"].tolist()
+    arrs = [np.asarray(a, dtype=np.int64) for a in gp["g"].tolist()]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    sizes = np.fromiter((a.size for a in arrs), np.int64, count=len(arrs))
+    offs = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+    bc = spark.sparkContext.broadcast(
+        {"idx": idx_of, "offs": offs, "flat": flat, "sz": sizes}
+    )
+
+    id_type = cand.schema["id_a"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+
+    def verify(batches):
+        b = bc.value
+        idx, offs_l, flat_l, sz = b["idx"], b["offs"], b["flat"], b["sz"]
+        for pdfb in batches:
+            ja, jb, jj = [], [], []
+            for ia, ib in zip(pdfb["id_a"].tolist(), pdfb["id_b"].tolist()):
+                xa, xb = idx.get(ia), idx.get(ib)
+                if xa is None or xb is None:
+                    continue  # join path would drop the pair identically
+                ga = flat_l[offs_l[xa] : offs_l[xa + 1]]
+                gb = flat_l[offs_l[xb] : offs_l[xb + 1]]
+                if ga.size > gb.size:
+                    ga, gb = gb, ga
+                pos = np.searchsorted(gb, ga)
+                ok = pos < gb.size
+                inter = int((gb[pos[ok]] == ga[ok]).sum())
+                union = int(sz[xa] + sz[xb]) - inter
+                jac = inter / union
+                if jac >= threshold:
+                    ja.append(ia)
+                    jb.append(ib)
+                    jj.append(jac)
+            yield pd.DataFrame(
+                {"id_a": ja, "id_b": jb, "jaccard": jj}
+            ).astype(
+                {"jaccard": np.float64}
+            ) if ja else pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=pdfb["id_a"].dtype),
+                    "id_b": pd.Series([], dtype=pdfb["id_b"].dtype),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+
+    return cand.mapInPandas(verify, out_schema)
+
+
 def lsh_jaccard_verified(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1202,6 +1312,7 @@ def lsh_jaccard_verified(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    native_max_docs: int = 600_000,
 ) -> DataFrame:
     """THE default near-dup path at scale: LSH candidates -> exact n-gram
     Jaccard computed on candidates ONLY.
@@ -1212,10 +1323,21 @@ def lsh_jaccard_verified(
     Replaces all-pairs ``ngram_jaccard_pairs`` everywhere the block key
     does not bound the block size (lang='en' IS the corpus at 100 TB);
     keep all-pairs only as an explicitly small-block verifier.
+
+    Execution strategy (r7 optimization): corpora up to
+    ``native_max_docs`` docs verify via :func:`_verified_jaccard_native`
+    (candidate generation unchanged and distributed; the gram sets are
+    int64-encoded, broadcast once, and each candidate pair reduced to its
+    two counts in numpy) -- identical doubles, measured 26.4 s -> ~7 s at
+    sf1.0 where the join-based verify shuffled ~2 GB of string arrays.
+    Beyond the cap, or when a gram cannot be packed into 63 bits
+    (n > 3), the join-based verify below runs unchanged.
     """
     cand = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, bands, rows_per_band, max_bucket_size
     )
+    if native_max_docs and 21 * n <= 63 and df.count() <= native_max_docs:
+        return _verified_jaccard_native(df, cand, id_col, text_col, n, threshold)
     grams = df.select(
         F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("grams")
     )
@@ -1309,12 +1431,67 @@ def _cp_release(spark) -> None:
             del _CP_STATE[spark]
 
 
+def _cc_native(edges: DataFrame, pdf: "pd.DataFrame") -> DataFrame:
+    """Driver-side union-find twin of the iterative label scheme for
+    BOUNDED edge lists (r7 optimization, guide §1.2: the cheapest plan for
+    a graph whose edges fit comfortably in one process is no distributed
+    iteration at all).  Verified near-dup pair sets are tiny relative to
+    the corpus -- 170k edges at sf1.0 while the label loop paid ~6-8
+    rounds of join+agg+checkpoint+probe actions (~8 s).  Identical
+    contract: component = MIN reachable ORIGINAL id, string ids ordered
+    by UTF-8 bytes exactly like Spark's ``min``.  The caller guards edge
+    count and falls back to the distributed iteration beyond the cap."""
+    a_list = pdf["id_a"].tolist()
+    b_list = pdf["id_b"].tolist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rank: dict = {}
+    for x, y in zip(a_list, b_list):
+        if x not in parent:
+            parent[x] = x
+            rank[x] = 0
+        if y not in parent:
+            parent[y] = y
+            rank[y] = 0
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rank[rx] < rank[ry]:
+                rx, ry = ry, rx
+            parent[ry] = rx
+            if rank[rx] == rank[ry]:
+                rank[rx] += 1
+    # min ORIGINAL id per root; strings compare as UTF-8 bytes (Spark min)
+    str_ids = any(isinstance(v, str) for v in parent)
+    mn: dict = {}
+    for v in parent:
+        r = find(v)
+        k = v.encode("utf-8") if str_ids else v
+        cur = mn.get(r)
+        if cur is None or k < cur[0]:
+            mn[r] = (k, v)
+    out_rows = [(v, mn[find(v)][1]) for v in parent]
+    idt = edges.schema["id_a"].dataType
+    schema = T.StructType(
+        [T.StructField("id", idt), T.StructField("component", idt)]
+    )
+    return edges.sparkSession.createDataFrame(out_rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iters: int = 50,
     checkpoint_dir: str | None = None,
     jump_after: int = 4,
     algorithm: str = "label",
+    native_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every node in the edge list, component = MIN id
     reachable.  ``algorithm`` selects the iteration scheme behind the same
@@ -1424,6 +1601,19 @@ def connected_components(
     ) or (isinstance(id_type, T.DecimalType) and id_type.scale == 0)
     if algorithm not in ("label", "star"):
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    if native_max_edges and checkpoint_dir is None and algorithm == "label":
+        # bounded-edge fast path (see _cc_native): one persist+count
+        # guard, collect the edge list, union-find on the driver.  NULL
+        # endpoints (SQL join semantics never connect them) and the
+        # reliable-checkpoint contract keep the distributed iteration.
+        edges_p = edges.select("id_a", "id_b").persist()
+        try:
+            if edges_p.count() <= native_max_edges:
+                pdf = edges_p.toPandas()
+                if not (pdf["id_a"].isna().any() or pdf["id_b"].isna().any()):
+                    return _cc_native(edges, pdf)
+        finally:
+            edges_p.unpersist()
     # Constraint propagation is DISABLED for the iteration: checkpointed
     # relations (LogicalRDD) retain origin isNotNull constraints over
     # attributes the surrounding projections have pruned, and Spark's

@@ -240,6 +240,85 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert len(snaps) == 1, snaps
 
 
+def test_lsh_verified_native_equals_join_path(spark, docs):
+    """The bounded-corpus native verify (int64 gram codes + broadcast CSR)
+    must produce byte-identical (id_a, id_b, jaccard) rows to the
+    join-based verify (forced via native_max_docs=0), including on
+    unicode text; and the gram-code kernel's set counts must equal
+    Spark's char_ngrams set counts."""
+    from mariadb_to_graylog_spark.operators.dedup import (
+        _char_ngram_codes_py,
+        char_ngrams,
+        lsh_jaccard_verified,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),
+        (3, "café résumé naïve façade déjà vu encore une fois"),
+        (4, "café résumé naïve façade déjà vu encore une foie"),
+        (5, "completely unrelated text about query engines"),
+        (6, ""),
+        (7, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    native = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in lsh_jaccard_verified(df, threshold=0.1).collect()
+    }
+    joined = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in lsh_jaccard_verified(
+            df, threshold=0.1, native_max_docs=0
+        ).collect()
+    }
+    assert native == joined and native
+
+    # kernel vs Spark char_ngrams: same distinct-gram count per text and
+    # same pairwise intersection counts (bijective encoding)
+    import pyspark.sql.functions as SF
+
+    got = df.select(
+        "doc_id", SF.size(SF.array_distinct(char_ngrams(SF.col("text"), 3))).alias("n")
+    ).collect()
+    for r in got:
+        text = dict(rows)[r.doc_id]
+        assert _char_ngram_codes_py(text, 3).size == r.n, text
+
+
+def test_connected_components_native_equals_iterative(spark):
+    """The bounded-edge union-find fast path must produce byte-identical
+    labels to the distributed label iteration (forced via
+    native_max_edges=0) on chain + clique + self-loop + string-id
+    graphs."""
+    from mariadb_to_graylog_spark.operators.dedup import connected_components
+
+    cases = [
+        (
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (7, 8), (5, 5)],
+            "id_a long, id_b long",
+        ),
+        ([(i, i + 1) for i in range(80)], "id_a long, id_b long"),
+        (
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("q", "q")],
+            "id_a string, id_b string",
+        ),
+    ]
+    for rows, schema in cases:
+        edges = spark.createDataFrame(rows, schema)
+        native = {
+            (r.id, r.component)
+            for r in connected_components(edges).collect()
+        }
+        iterative = {
+            (r.id, r.component)
+            for r in connected_components(
+                edges, native_max_edges=0
+            ).collect()
+        }
+        assert native == iterative, schema
+
+
 def test_connected_components_string_ids(spark, tmp_path):
     """Non-integral ids must NOT fool the label-sum convergence probe (a
     decimal sum over string labels is NULL every round, which would look
