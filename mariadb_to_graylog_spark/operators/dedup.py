@@ -2018,16 +2018,18 @@ def simhash_pairs(
     )
 
 
-def _round6_spark(raw: float) -> float:
-    """Replicate Spark's ``round(double, 6)`` exactly: Scala
+def _round6_spark(raw: float, digits: int = 6) -> float:
+    """Replicate Spark's ``round(double, d)`` exactly: Scala
     ``BigDecimal(d)`` goes through ``Double.toString`` (shortest decimal
-    repr), then HALF_UP at scale 6 -- Python ``repr(float)`` is the same
-    shortest repr, so Decimal(repr(x)) quantized HALF_UP is bit-identical."""
+    repr), then HALF_UP at the given scale -- Python ``repr(float)`` is
+    the same shortest repr, so Decimal(repr(x)) quantized HALF_UP is
+    bit-identical."""
     import decimal
 
     return float(
         decimal.Decimal(repr(raw)).quantize(
-            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            decimal.Decimal(1).scaleb(-digits),
+            rounding=decimal.ROUND_HALF_UP,
         )
     )
 
@@ -2519,6 +2521,92 @@ def lsh_banding_planner(
     )
 
 
+def _containment_native(
+    spark,
+    pdf: "pd.DataFrame",
+    id_type,
+    rare_cap: int,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Native candidate+verify stage of :func:`containment_pairs` for
+    bounded corpora (r7 optimization).  The distributed plan paid ~8 s at
+    sf1.0 just exploding and re-aggregating the 14M (id, gram) postings
+    for the frequency cap, then joined the gram arrays back twice; here
+    the ALREADY-COMPUTED gram arrays are collected once and the rest is
+    numpy: bincount for gram frequency, bucket pair emission over rare
+    grams (the identical rare_cap^2/2 structural bound as the join), and
+    a searchsorted intersection per distinct candidate pair.  Identical
+    integers, identical ``round(x, d)`` doubles (:func:`_round6_spark`)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_inner", id_type),
+            T.StructField("id_outer", id_type),
+            T.StructField("n_inner_grams", T.LongType()),
+            T.StructField("n_inter", T.LongType()),
+            T.StructField("containment", T.DoubleType()),
+        ]
+    )
+    nrows = len(pdf)
+    if nrows == 0:
+        return spark.createDataFrame([], out_schema)
+    raw_ids = pdf["id"].tolist()
+    if isinstance(raw_ids[0], str):
+        order = sorted(range(nrows), key=lambda i: raw_ids[i].encode("utf-8"))
+    else:
+        order = sorted(range(nrows), key=lambda i: raw_ids[i])
+    ids = [raw_ids[i] for i in order]
+    arrs = [
+        np.sort(np.asarray(pdf["grams"].iloc[i], dtype=np.int64))
+        for i in order
+    ]
+    sz = np.fromiter((a.size for a in arrs), np.int64, count=nrows)
+    doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), sz)
+    hvals = np.concatenate(arrs) if doc_idx.size else np.empty(0, np.int64)
+    _, hidx = np.unique(hvals, return_inverse=True)
+    dfh = np.bincount(hidx) if hidx.size else np.empty(0, np.int64)
+    rm = dfh[hidx] <= rare_cap if hidx.size else np.empty(0, bool)
+    rdoc, rh = doc_idx[rm], hidx[rm]
+    ordr = np.argsort(rh, kind="stable")
+    rdoc = rdoc[ordr]
+    bcounts = np.bincount(rh[ordr]) if rh.size else np.empty(0, np.int64)
+    boff = np.concatenate([[0], np.cumsum(bcounts)])
+    pa, pb = [], []
+    for bi in np.flatnonzero(bcounts >= 2):
+        db = rdoc[boff[bi] : boff[bi + 1]]  # doc idx ascending (stable sort)
+        ii, jj = np.triu_indices(db.size, k=1)
+        pa.append(db[ii])
+        pb.append(db[jj])
+    if not pa:
+        return spark.createDataFrame([], out_schema)
+    pk = np.unique(np.concatenate(pa) * nrows + np.concatenate(pb))
+    ia, ib = pk // nrows, pk % nrows
+    rows = []
+    for xa, xb in zip(ia.tolist(), ib.tolist()):
+        ga, gb = arrs[xa], arrs[xb]
+        # searchsorted the smaller into the larger
+        if ga.size <= gb.size:
+            sm, lg = ga, gb
+        else:
+            sm, lg = gb, ga
+        pos = np.searchsorted(lg, sm)
+        ok = pos < lg.size
+        inter = int((lg[pos[ok]] == sm[ok]).sum())
+        na, nb = int(sz[xa]), int(sz[xb])
+        # inner = smaller distinct-gram set; ties -> lower id (xa < xb
+        # already in id order)
+        if na < nb or (na == nb):
+            xin, xout, nin = xa, xb, na
+        else:
+            xin, xout, nin = xb, xa, nb
+        c = _round6_spark(inter / nin, round_digits)
+        if c >= threshold:
+            rows.append((ids[xin], ids[xout], nin, inter, c))
+    return spark.createDataFrame(rows, out_schema)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2527,6 +2615,7 @@ def containment_pairs(
     rare_cap: int = 20,
     threshold: float = 0.9,
     round_digits: int = 6,
+    native_max_docs: int = 600_000,
 ) -> DataFrame:
     """Asymmetric SET-CONTAINMENT dedup: find (inner, outer) document
     pairs where nearly every word ``n``-gram of the inner doc also occurs
@@ -2566,6 +2655,15 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         word_ngram_hashes(F.col(text_col), n).alias("grams"),
     )
+    if native_max_docs and df.count() <= native_max_docs:
+        return _containment_native(
+            df.sparkSession,
+            garr.toPandas(),
+            df.schema[id_col].dataType,
+            rare_cap,
+            threshold,
+            round_digits,
+        )
     g = garr.select("id", F.explode("grams").alias("h"))
     freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("_f"))
     rare = g.join(freq.filter(F.col("_f") <= rare_cap), "h").drop("_f")
