@@ -1226,7 +1226,8 @@ def _verified_jaccard_native(
     text_col: str,
     n: int,
     threshold: float,
-) -> DataFrame:
+    max_docs: int,
+) -> DataFrame | None:
     """Native verify stage of ``lsh_jaccard_verified`` for bounded corpora
     (r7 optimization).  The join-based verify moved every candidate
     pair's two ~250-element STRING gram arrays through two shuffled
@@ -1248,9 +1249,20 @@ def _verified_jaccard_native(
     def codes_udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: _char_ngram_codes_py(t, n))
 
+    # guard and collect are ONE action: limit(cap+1) stops early on
+    # over-cap corpora (None -> the caller's join path runs), and -- for
+    # callers whose input is an expensive derived lineage, e.g. the
+    # distinct-paragraph unit table -- avoids paying a separate count()
+    # pass over that lineage just to decide the strategy
     gp = df.select(
         F.col(id_col).alias("id"), codes_udf(F.col(text_col)).alias("g")
-    ).toPandas()
+    ).limit(max_docs + 1).toPandas()
+    if len(gp) > max_docs:
+        return None
+    id_type = cand.schema["id_a"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    if len(gp) == 0:
+        return spark.createDataFrame([], out_schema)
     ids = gp["id"].tolist()
     arrs = [np.asarray(a, dtype=np.int64) for a in gp["g"].tolist()]
     idx_of = {v: i for i, v in enumerate(ids)}
@@ -1261,9 +1273,6 @@ def _verified_jaccard_native(
     bc = spark.sparkContext.broadcast(
         {"idx": idx_of, "offs": offs, "flat": flat, "sz": sizes}
     )
-
-    id_type = cand.schema["id_a"].dataType.simpleString()
-    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
 
     def verify(batches):
         b = bc.value
@@ -1336,8 +1345,12 @@ def lsh_jaccard_verified(
     cand = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, bands, rows_per_band, max_bucket_size
     )
-    if native_max_docs and 21 * n <= 63 and df.count() <= native_max_docs:
-        return _verified_jaccard_native(df, cand, id_col, text_col, n, threshold)
+    if native_max_docs and 21 * n <= 63:
+        nat = _verified_jaccard_native(
+            df, cand, id_col, text_col, n, threshold, native_max_docs
+        )
+        if nat is not None:
+            return nat
     grams = df.select(
         F.col(id_col).alias("id"), char_ngrams(F.col(text_col), n).alias("grams")
     )

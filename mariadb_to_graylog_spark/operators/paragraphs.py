@@ -195,6 +195,13 @@ def near_paragraph_frequency(
             # yields a new object without it), so callers that transform
             # the result should pass a list here and unpersist its entries
             cache_out.append(units)
+    # native_max_docs=0: keep the JOIN-path verify here.  The r7 native
+    # verify wins when the input is a base table with long texts (gram
+    # arrays dominate the joins), but the unit table is a DERIVED
+    # aggregation over short paragraphs -- the native path's extra collect
+    # action recomputes that lineage without exchange reuse and measured
+    # NET SLOWER (9.9s vs 7.4s at sf1.0, same-session A/B), while the
+    # join verify shares the units exchange with every other consumer.
     pairs = lsh_jaccard_verified(
         units,
         id_col="h",
@@ -205,6 +212,7 @@ def near_paragraph_frequency(
         n=n,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
+        native_max_docs=0,
     )
     # one-hop closure WITH self-loops: (h, h) rows make the single
     # (nb -> doc_id) join deliver own docs and neighbor docs together

@@ -395,13 +395,45 @@ def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
 
 
 def srp_band_values(
-    vec_col: str, planes: list[list[int]], bands: int, rows_per_band: int
+    vec_col: str, planes: list[list[int]], bands: int, rows_per_band: int,
+    native: bool = True,
 ) -> Column:
     """array<long> of per-band SRP bucket values, as ONE nested-HOF
     expression: bit_j = sign(v . plane_j) via a transform over a 2D plane
     literal (a single py4j literal instead of bands*rows dot-expression
     trees -- plan construction was costing more than execution), then each
-    band packs its ``rows_per_band`` bits into a long."""
+    band packs its ``rows_per_band`` bits into a long.
+
+    ``native`` (default, r7 optimization) computes the same values in an
+    Arrow-batched numpy kernel with the bit-exact sequential fold
+    (:func:`_cos_matrix_seqfold`'s dot accumulation; the >= 0 sign test
+    then yields identical bits, and band packing is integer) -- the
+    interpreted bands*rows x dim fold was the dominant cost of the SRP
+    consumers at sf1.0.  ``native=False`` keeps the JVM expression (the
+    oracle-shaped reference)."""
+    if native:
+        from pyspark.sql.functions import pandas_udf
+
+        pmat = np.array([[float(x) for x in p] for p in planes])
+        n_planes, dim = pmat.shape
+        pw = np.array([1 << k for k in range(rows_per_band)], dtype=np.int64)
+
+        @pandas_udf("array<long>")
+        def srp_udf(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            v64 = _vec_matrix(vs, dim)
+            dots = np.zeros((v64.shape[0], n_planes))
+            for j in range(dim):
+                dots = dots + v64[:, j][:, None] * pmat[None, :, j]
+            bits = (dots >= 0).astype(np.int64)
+            bv = bits[:, : bands * rows_per_band].reshape(
+                v64.shape[0], bands, rows_per_band
+            ) @ pw
+            return pd.Series(list(bv))
+
+        return srp_udf(F.col(vec_col))
+
     planes2d = F.lit([[float(x) for x in p] for p in planes])
     bits = F.transform(
         planes2d,
@@ -864,6 +896,131 @@ def semantic_dedup(
     )
 
 
+def _embedding_neardup_native(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Native SRP-LSH near-dup for bounded corpora (r7 optimization): the
+    distributed chain paid ~2.8 s generating+distincting 3.4M candidate
+    pairs through a bucket self-join and ~2.7 s more joining vectors back
+    and folding an interpreted cosine per pair (sf1.0).  Here the (id,
+    vector) table -- 7 MB at sf1.0 -- is collected once; band values,
+    per-band bucket pair emission (identical pair set) and the bit-exact
+    sequential-fold cosine (:func:`_cos_matrix_seqfold`'s accumulation
+    order) all run in numpy, with the verify distributed over pair blocks
+    via a broadcast of (vectors, norms, pairs).  Identical rows and
+    rounded doubles; Spark's NaN-passes-threshold comparison semantics
+    are preserved.  The caller guards corpus size."""
+    from mariadb_to_graylog_spark.operators.dedup import _round6_spark
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    n = len(pdf)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    raw_ids = pdf[id_col].tolist()
+    if isinstance(raw_ids[0], str):
+        order = sorted(range(n), key=lambda i: raw_ids[i].encode("utf-8"))
+    else:
+        order = sorted(range(n), key=lambda i: raw_ids[i])
+    ids_np = np.array([raw_ids[i] for i in order])
+    v64 = _vec_matrix([pdf[vec_col].iloc[i] for i in order], dim)
+
+    planes = srp_planes(bands * rows_per_band, dim)
+    pmat = np.array([[float(x) for x in p] for p in planes])
+    dots = np.zeros((n, pmat.shape[0]))
+    na = np.zeros(n)
+    for j in range(dim):
+        col = v64[:, j]
+        na = na + col * col
+        dots = dots + col[:, None] * pmat[None, :, j]
+    sqn = np.sqrt(na)
+    bits = (dots >= 0).astype(np.int64)
+    pw = np.array([1 << k for k in range(rows_per_band)], dtype=np.int64)
+    bv = bits.reshape(n, bands, rows_per_band) @ pw
+
+    pa = []
+    for b in range(bands):
+        col = bv[:, b]
+        srt = np.argsort(col, kind="stable")
+        vals = col[srt]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(vals[1:] != vals[:-1]) + 1, [n]]
+        )
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s >= 2:
+                grp = np.sort(srt[s:e])
+                ii, jj = np.triu_indices(e - s, k=1)
+                pa.append(grp[ii] * n + grp[jj])
+    if not pa:
+        return spark.createDataFrame([], out_schema)
+    pk = np.unique(np.concatenate(pa))
+    ia, ib = (pk // n).astype(np.int64), (pk % n).astype(np.int64)
+
+    bc = spark.sparkContext.broadcast(
+        {"ids": ids_np, "v": v64, "sqn": sqn, "ia": ia, "ib": ib}
+    )
+    n_pairs = ia.size
+    n_blocks = max(min(spark.sparkContext.defaultParallelism * 2, n_pairs), 1)
+    numeric_ids = ids_np.dtype.kind in "iu"
+    id_np_dtype = ids_np.dtype if numeric_ids else object
+    margin = threshold - 1e-6
+
+    def verify(batches):
+        b = bc.value
+        idsl, vl, sq, ial, ibl = b["ids"], b["v"], b["sqn"], b["ia"], b["ib"]
+        for pdfb in batches:
+            oa, ob, oc = [], [], []
+            for blk in pdfb["id"].tolist():
+                lo = blk * n_pairs // n_blocks
+                hi = (blk + 1) * n_pairs // n_blocks
+                if hi <= lo:
+                    continue
+                xa, xb = ial[lo:hi], ibl[lo:hi]
+                acc = np.zeros(hi - lo)
+                for j in range(vl.shape[1]):
+                    acc = acc + vl[xa, j] * vl[xb, j]
+                raw = acc / (sq[xa] * sq[xb])
+                nanm = np.isnan(raw)
+                sel = np.flatnonzero((raw >= margin) | nanm)
+                if sel.size == 0:
+                    continue
+                keep_a, keep_b, keep_c = [], [], []
+                for s in sel.tolist():
+                    r = raw[s]
+                    if r != r:  # Spark: NaN >= threshold is TRUE
+                        rv = float("nan")
+                    else:
+                        rv = _round6_spark(r, round_digits)
+                        if not rv >= threshold:
+                            continue
+                    keep_a.append(idsl[xa[s]])
+                    keep_b.append(idsl[xb[s]])
+                    keep_c.append(rv)
+                oa.extend(keep_a)
+                ob.extend(keep_b)
+                oc.extend(keep_c)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.array(oa, dtype=id_np_dtype),
+                    "id_b": np.array(ob, dtype=id_np_dtype),
+                    "cos_sim": np.array(oc, dtype=np.float64),
+                }
+            )
+
+    blocks = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    return blocks.mapInPandas(verify, out_schema)
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -873,6 +1030,7 @@ def embedding_neardup_lsh(
     rows_per_band: int | None = 8,
     threshold: float = 0.999,
     round_digits: int = 6,
+    native_max_rows: int = 600_000,
 ) -> DataFrame:
     """THE default embedding near-dup path at scale: random-hyperplane
     (SRP) LSH candidates -> exact cosine verified on candidates only.
@@ -900,6 +1058,11 @@ def embedding_neardup_lsh(
 
         n = df.count()
         rows_per_band = max(8, math.ceil(math.log2(max(n, 2) / 4)))
+    if native_max_rows and df.count() <= native_max_rows:
+        return _embedding_neardup_native(
+            df, id_col, vec_col, dim, bands, rows_per_band, threshold,
+            round_digits,
+        )
     planes = srp_planes(bands * rows_per_band, dim)
     band_vals = srp_band_values(vec_col, planes, bands, rows_per_band)
     buckets = df.select(
