@@ -6368,65 +6368,17 @@ TRAINING_ORACLES = {
 # Every name listed here must exist in the merged dict; the assertion below
 # guards against typos when queries are added or renamed.
 _DRIVER_PRIORITY = [
-    # tier 1: new in round 6 (names are appended here as the queries land)
-    "semantic_decontam",
-    "containment_pairs",
-    "dsir_weights",
-    "paragraph_lang_mix",
-    "incremental_neardup",
-    "url_variants",
-    "image_ahash_groups",
-    "html_extract",
-    "audio_fp_groups",
-    "contamination_report",
-    "nfc_dedup",
-    "pack_segments",
-    "web_ingest_pipeline",
-    "json_props",
-    "tfidf_keywords",
-    "timeseries_gapfill",
-    "char_entropy",
-    "lang_confusion",
-    "dup_cluster_provenance",
-    "fuzzy_decontam",
-    "bpe_merges",
-    "vocab_coverage",
-    "bigram_novelty",
-    "lsh_planner",
-    "padding_waste",
-    "data_split",
-    "prefix_dup_stats",
-    "embedding_drift",
-    "cluster_source_mix",
-    "bloom_prefilter",
-    "session_stats",
-    "event_transitions",
-    "crosslingual_near_dup",
-    "quality_threshold_sweep",
-    "decontaminate_coverage",
-    "decontaminate_coverage_bucketed",
-    "trim_contaminated",
-    "trim_loss_by_source",
-    "novelty_by_batch",
-    "dedup_rate_sampled",
-    "unigram_surprisal",
-    "incremental_dedup",
-    "pack_sequences",
-    "source_mixture",
-    "dedup_keep_best",
-    "dup_cluster_hist",
-    "semantic_dedup",
-    "training_manifest",
-    "knn_pq",
-    "knn_ivfpq",
+    # tier 1 (r7, per the round-6 verdict's top ask): the SIX queries that
+    # have never had a driver-oracle row in any round -- positions 0-5 so
+    # CORRECTNESS_r07 finally covers them and every registry query has
+    # >= 1 driver row
+    "decontaminate_extents",
+    "paragraph_near_stats",
     "token_fertility",
     "key_skew",
     "corpus_accounting",
     "curation_trim_pipeline",
-    # tier 2: never driver-checked (positions 50-59 in r5, absent in r4)
-    "decontaminate_extents",
-    "paragraph_near_stats",
-    # tier 3: single driver row (r4-only or r5-only)
+    # tier 2: exactly one driver row so far (r4- or r5-only)
     "paragraph_stats",
     "paragraph_dedup",
     "decontaminate",
@@ -6445,6 +6397,59 @@ _DRIVER_PRIORITY = [
     "sample_stratified",
     "domain_lang_mix",
     "domain_reputation",
+    # tier 3: exactly one driver row (r6) -- fills the rest of the window,
+    # heaviest-optimized-this-round names first so r7's driver rows also
+    # re-confirm the queries whose implementations changed most
+    "containment_pairs",
+    "crosslingual_near_dup",
+    "dedup_keep_best",
+    "semantic_dedup",
+    "cluster_source_mix",
+    "knn_pq",
+    "knn_ivfpq",
+    "semantic_decontam",
+    "fuzzy_decontam",
+    "embedding_drift",
+    "dsir_weights",
+    "paragraph_lang_mix",
+    "incremental_neardup",
+    "url_variants",
+    "image_ahash_groups",
+    "html_extract",
+    "audio_fp_groups",
+    "contamination_report",
+    "nfc_dedup",
+    "pack_segments",
+    "web_ingest_pipeline",
+    "json_props",
+    "tfidf_keywords",
+    "timeseries_gapfill",
+    "char_entropy",
+    "lang_confusion",
+    "dup_cluster_provenance",
+    "bpe_merges",
+    "vocab_coverage",
+    "bigram_novelty",
+    "lsh_planner",
+    "padding_waste",
+    "data_split",
+    "prefix_dup_stats",
+    "bloom_prefilter",
+    "session_stats",
+    "event_transitions",
+    "quality_threshold_sweep",
+    "decontaminate_coverage",
+    "decontaminate_coverage_bucketed",
+    "trim_contaminated",
+    "trim_loss_by_source",
+    "novelty_by_batch",
+    "dedup_rate_sampled",
+    "unigram_surprisal",
+    "incremental_dedup",
+    "pack_sequences",
+    "source_mixture",
+    "dup_cluster_hist",
+    "training_manifest",
 ]
 
 
