@@ -60,6 +60,32 @@ def stage_summary(result: dict) -> list[dict]:
     return parse_event_log(path, tuple(result["timed_window"]))
 
 
+# quiet-session single-thread memcpy bandwidth recorded in round 7 (the
+# reference for the health probe below); a measurement session whose
+# sentinel falls far below this is running under co-tenant CPU/memory
+# steal and its ladder numbers must be annotated, not trusted (the
+# round-6 table was drift-poisoned in both directions -- r6 verdict #3)
+SENTINEL_REF_GBPS = 3.5
+SENTINEL_WARN_RATIO = 0.6
+
+
+def host_health_sentinel(n_mb: int = 512, trials: int = 3) -> float:
+    """Single-threaded memcpy bandwidth (GB/s), best of ``trials`` --
+    a plan-independent probe of co-tenant steal on this host."""
+    import time
+
+    import numpy as np
+
+    src = np.random.default_rng(7).integers(0, 255, n_mb * 1_000_000 // 8)
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        dst = src.copy()
+        dt = time.perf_counter() - t0
+        best = max(best, (dst.nbytes / 1e9) / dt)
+    return best
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=480000)
@@ -67,6 +93,15 @@ def main() -> int:
     ap.add_argument("--pairs", nargs="*", default=["1:4", "8:32"])
     ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
+
+    sentinel = host_health_sentinel()
+    healthy = sentinel >= SENTINEL_REF_GBPS * SENTINEL_WARN_RATIO
+    print(
+        f"host-health sentinel: {sentinel:.2f} GB/s single-thread memcpy "
+        f"(reference {SENTINEL_REF_GBPS:.1f}; "
+        f"{'HEALTHY' if healthy else 'DEGRADED -- annotate, do not trust'})",
+        file=sys.stderr,
+    )
 
     levels = sorted({int(x) for p in args.pairs for x in p.split(":")})
 
@@ -106,6 +141,11 @@ def main() -> int:
 
     lines = [
         "# BENCH/BASELINE.md -- scaling evidence (north-rule criterion)",
+        "",
+        f"Host-health sentinel at run start: **{sentinel:.2f} GB/s** "
+        f"single-thread memcpy (quiet-session reference "
+        f"{SENTINEL_REF_GBPS:.1f} GB/s) -- session "
+        f"{'HEALTHY' if healthy else 'DEGRADED: numbers below are annotated as drift-suspect'}.",
         "",
         "Job: full pipeline parse -> enrich -> route -> aggregate "
         "(`bench.py --job pipeline`) over the deterministic synthetic",

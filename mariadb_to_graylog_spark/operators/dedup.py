@@ -2769,7 +2769,9 @@ def incremental_neardup(
     persisted or table-backed) so repeat callers -- a micro-batch stream
     gating every trigger, a daily cron -- pay the corpus signature pass
     once, not per call.  It must come from the same (shingle_n, bands,
-    rows_per_band); the verify step still reads corpus text by id.
+    rows_per_band); the verify step reads corpus text by id and (since
+    r7) derives corpus grams for CANDIDATE rows only -- a gate call no
+    longer pays an O(corpus) char_ngrams pass per trigger.
     """
     cb = (
         corpus_buckets
@@ -2787,15 +2789,21 @@ def incremental_neardup(
         F.col(id_col).alias("_bid"),
         char_ngrams(F.col(text_col), n).alias("_g_b"),
     )
-    cg = corpus.select(
-        F.col(id_col).alias("_cid"),
-        char_ngrams(F.col(text_col), n).alias("_g_c"),
-    )
+    # r7 (round-6 advice, medium): corpus grams are computed ABOVE the
+    # candidate join, so the char_ngrams pass runs over candidate rows
+    # only -- the previous shape derived grams for EVERY corpus document
+    # per call, an O(corpus) scan each micro-batch trigger even with a
+    # pre-built bucket index.  Values are identical (same expression per
+    # row); a corpus doc appearing in several candidate pairs re-derives
+    # its grams per pair, which is the right trade at gate cardinalities
+    # (candidates per corpus doc ~ 1).
+    ct = corpus.select(F.col(id_col).alias("_cid"), F.col(text_col).alias("_ct"))
     inter = F.size(F.array_intersect("_g_b", "_g_c")).cast("double")
     union = F.size(F.array_union("_g_b", "_g_c")).cast("double")
     verified = (
         cand.join(bg, "_bid")
-        .join(cg, "_cid")
+        .join(ct, "_cid")
+        .withColumn("_g_c", char_ngrams(F.col("_ct"), n))
         .withColumn("jaccard", F.round(inter / union, round_digits))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -5,8 +5,11 @@ MinHash index, decisions land in per-decision parquet partitions.
 Shape: ``foreachBatch`` (the gate is a join+aggregate against a static
 side -- not expressible as a pure streaming append), with the corpus
 index built ONCE at stream start (``dedup.build_neardup_index`` +
-persist) so each trigger pays only the batch's own signature pass plus
-the bucket probe.  State-free BY DESIGN: the gate compares batch vs
+persist) so each trigger pays the batch's own signature pass, the bucket
+probe, and a corpus-text fetch FOR CANDIDATE IDS ONLY -- since r7 the
+verify derives corpus grams above the candidate join (round-6 advice:
+the earlier shape re-derived char_ngrams over every corpus document per
+trigger even with the pre-built index).  State-free BY DESIGN: the gate compares batch vs
 CORPUS; a near-dup pair arriving in two different micro-batches (neither
 in the corpus yet) is not caught here -- that is the batch near-dedup
 pass's job over the accumulated table, exactly like the watermarked
