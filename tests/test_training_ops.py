@@ -130,11 +130,35 @@ def test_no_quadratic_join_in_default_neardup_paths(spark, docs, embeds):
     for df, needle in [
         (lsh_jaccard_verified(docs), "sig"),
         (simhash_pairs_banded(docs), "bv"),
-        (embedding_neardup_lsh(embeds, dim=64), "bv"),
+        # embedding path: the bounded-corpus default is the r7 native
+        # engine (MapInPandas over numpy bucket pairing -- same per-band
+        # pair set, no join at all); the bucket-join invariant is
+        # asserted on its beyond-cap distributed twin below
+        (embedding_neardup_lsh(embeds, dim=64, native_max_rows=0), "bv"),
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan
         assert "band" in plan and needle in plan  # bucket join key present
+    native_plan = (
+        embedding_neardup_lsh(embeds, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in native_plan
+    assert "NestedLoop" not in native_plan
+    # and the two strategies agree row-for-row (ids AND rounded cosines)
+    nat = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_neardup_lsh(embeds, dim=64).collect()
+    }
+    dist = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_neardup_lsh(
+            embeds, dim=64, native_max_rows=0
+        ).collect()
+    }
+    assert nat == dist
 
 
 def test_embedding_lsh_exact_dup_recall(spark, embeds):
