@@ -189,6 +189,47 @@ def minhash_signatures_hof(
     )
 
 
+def _minhash_sig_array_udf(shingle_n: int, num_hashes: int):
+    """Arrow-batched native twin of ``minhash_signatures`` returning the
+    signature as ONE array<long> (r7 optimization): hashlib md5 per
+    shingle -- identical bytes, hex slice and integer arithmetic to the
+    ``h32`` chain (Python slicing and ``len`` count codepoints exactly
+    like Spark's ``substr``/``length``; verified equal on the full
+    corpus) -- then the num_hashes mins vectorized in numpy.  NULL text
+    returns a NULL array, matching the JVM path's NULL signatures."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    params = _hash_params(num_hashes)
+    a_np = np.array([a for a, _ in params], dtype=np.int64)
+    b_np = np.array([b for _, b in params], dtype=np.int64)
+    n = shingle_n
+
+    @pandas_udf("array<long>")
+    def udf(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ww = max(len(t) - (n - 1), 1)
+            hs = np.fromiter(
+                (
+                    int(md5(t[i : i + n].encode("utf-8")).hexdigest()[:8], 16)
+                    for i in range(ww)
+                ),
+                dtype=np.int64,
+                count=ww,
+            )
+            out.append(((hs[:, None] * a_np + b_np) % MERSENNE31).min(axis=0))
+        return pd.Series(out)
+
+    return udf
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -196,12 +237,43 @@ def lsh_buckets(
     shingle_n: int = 4,
     bands: int = 4,
     rows_per_band: int = 4,
+    native: bool = False,
 ) -> DataFrame:
     """(id, band, sig) bucket assignments.  The band key is a STRUCT of the
     band's minhash longs -- bucket membership is exact tuple equality, with
     no string materialization (the earlier concat_ws key built and hashed a
     ~40-char string per (doc, band); structs of longs join on raw 8-byte
-    comparisons and cannot collide, unlike hashing the tuple to one long)."""
+    comparisons and cannot collide, unlike hashing the tuple to one long).
+
+    ``native=True`` computes the signature with
+    :func:`_minhash_sig_array_udf` (identical integers -- tested equal,
+    incl. NULL-text docs, whose NULL-field band structs never equi-join
+    so the pair set is unchanged) and slices the band structs from the
+    array.  Measured BOTH WAYS at sf1.0 and kept OFF by default: the
+    isolated signature pass is faster native (2.65 s -> 1.75 s) but the
+    LSH chains came out ~0.5 s SLOWER end-to-end (dedup_minhash_lsh
+    3.9 -> 4.6 s, dedup_groups 8.5 -> 9.0 s, same-session best-of-3) --
+    the codegen aggregate's groupBy exchange is the self-join reuse
+    point, while the UDF shape leans on ReuseExchange of the join-input
+    shuffles and in practice re-evaluates the Python pass per side.
+    The JVM aggregate engine (``minhash_signatures``) stays the default."""
+    if native:
+        sig = _minhash_sig_array_udf(shingle_n, bands * rows_per_band)(
+            F.col(text_col)
+        )
+        tmp = df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+        band_structs = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.col("_sig")[b * rows_per_band + r].alias(f"s{r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(bands)
+            ]
+        )
+        return tmp.select("id", F.posexplode(band_structs).alias("band", "sig"))
     sigs = minhash_signatures(df, id_col, text_col, shingle_n, bands * rows_per_band)
     band_structs = F.array(
         *[

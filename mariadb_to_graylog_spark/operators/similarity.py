@@ -251,6 +251,37 @@ def assign_buckets(
     return assign_buckets_local(df, cents, vec_col)
 
 
+def _lloyd_native(
+    ids: list,
+    v64: "np.ndarray",
+    k: int,
+    iters: int,
+    round_digits: int,
+) -> list[tuple[int, list[float]]]:
+    """The numpy Lloyd rounds of :func:`train_kmeans`'s native path,
+    factored out so :func:`train_pq` can run all m sub-trainers from ONE
+    collected matrix.  Seeds = k lowest ids; assignment = bit-exact
+    sequential-fold cosine argmax; update = HALF_UP-rounded component
+    means (see train_kmeans for the arithmetic contract)."""
+    from mariadb_to_graylog_spark.operators.dedup import _round6_spark
+
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:k]
+    cents = sorted((int(ids[i]), [float(x) for x in v64[i]]) for i in order)
+    for _ in range(iters):
+        cids_np = np.array([cid for cid, _ in cents], dtype=np.int64)
+        cmat = np.array([cv for _, cv in cents])
+        asg = _argmax_spark(_cos_matrix_seqfold(v64, cmat), cids_np)
+        new_cents = []
+        for cid in np.unique(asg):
+            members = v64[asg == cid]
+            avg = members.sum(axis=0) / members.shape[0]
+            new_cents.append(
+                (int(cid), [_round6_spark(float(x), round_digits) for x in avg])
+            )
+        cents = sorted(new_cents)
+    return cents
+
+
 def train_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -292,31 +323,14 @@ def train_kmeans(
     keep the distributed rounds below.
     """
     if native_max_rows and df.count() <= native_max_rows:
-        from mariadb_to_graylog_spark.operators.dedup import _round6_spark
-
         pdf = df.select(id_col, vec_col).toPandas()
-        ids = pdf[id_col].tolist()
-        v64 = _vec_matrix(pdf[vec_col].tolist(), dim)
-        order = sorted(range(len(ids)), key=lambda i: ids[i])[:k]
-        cents = sorted(
-            (int(ids[i]), [float(x) for x in v64[i]]) for i in order
+        return _lloyd_native(
+            pdf[id_col].tolist(),
+            _vec_matrix(pdf[vec_col].tolist(), dim),
+            k,
+            iters,
+            round_digits,
         )
-        for _ in range(iters):
-            cids_np = np.array([cid for cid, _ in cents], dtype=np.int64)
-            cmat = np.array([cv for _, cv in cents])
-            asg = _argmax_spark(_cos_matrix_seqfold(v64, cmat), cids_np)
-            new_cents = []
-            for cid in np.unique(asg):
-                members = v64[asg == cid]
-                avg = members.sum(axis=0) / members.shape[0]
-                new_cents.append(
-                    (
-                        int(cid),
-                        [_round6_spark(float(x), round_digits) for x in avg],
-                    )
-                )
-            cents = sorted(new_cents)
-        return cents
 
     # iterative trainer: cache the working set (id, vec) across rounds --
     # every Lloyd implementation does; without it each round re-scans and
@@ -539,6 +553,7 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    native_max_rows: int = 2_000_000,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: split every vector into ``m``
     subspaces of dim/m and train an independent deterministic k-means
@@ -551,6 +566,22 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
+    if native_max_rows and df.count() <= native_max_rows:
+        # r7: ONE collect feeds all m sub-trainers (the per-subspace
+        # train_kmeans native paths each paid their own count+collect
+        # action over the slice lineage -- 8 actions at m=4).  Slicing
+        # the widened float64 matrix commutes with the JVM's
+        # slice-then-cast, so the sub-centroids are identical.
+        pdf = df.select(id_col, vec_col).toPandas()
+        ids = pdf[id_col].tolist()
+        v64 = _vec_matrix(pdf[vec_col].tolist(), dim)
+        return [
+            _lloyd_native(
+                ids, v64[:, j * dsub : (j + 1) * dsub], ksub, iters,
+                round_digits,
+            )
+            for j in range(m)
+        ]
     # one cached scan feeds all m sub-trainers (each would otherwise
     # re-read the source per Lloyd round x subspace)
     work = df.select(id_col, vec_col).persist()

@@ -264,6 +264,30 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert len(snaps) == 1, snaps
 
 
+def test_lsh_buckets_native_equals_codegen(spark, docs):
+    """The native minhash signature engine must produce byte-identical
+    (id, band, sig-struct) bucket rows to the codegen aggregate path,
+    including NULL-text docs (NULL-field structs) and unicode."""
+    from mariadb_to_graylog_spark.operators.dedup import lsh_buckets
+
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "café résumé déjà"), (90004, "ab")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    key = lambda r: (r.id, r.band, tuple(r.sig) if r.sig else None)  # noqa: E731
+    nat = sorted(
+        key(r) for r in lsh_buckets(both, bands=4, rows_per_band=8).collect()
+    )
+    jvm = sorted(
+        key(r)
+        for r in lsh_buckets(
+            both, bands=4, rows_per_band=8, native=False
+        ).collect()
+    )
+    assert nat == jvm
+
+
 def test_lsh_verified_native_equals_join_path(spark, docs):
     """The bounded-corpus native verify (int64 gram codes + broadcast CSR)
     must produce byte-identical (id_a, id_b, jaccard) rows to the
